@@ -1,0 +1,153 @@
+"""BVH traversal kernels (the DXR TraceRay / RayQuery replacement).
+
+Wavefront closest-hit and any-hit traversal over the BVH2 layout from
+ops/bvh.py: every ray runs an ordered stack-based descent inside one
+`lax.while_loop`, vectorized over the whole wavefront (one "thread" per ray,
+like dispatchRays, but lane-synchronous). Nodes store both children's
+AABBs so each step is one 12-float gather + two slab tests; leaves
+(<= leaf_size tris) are intersected with a statically unrolled masked loop.
+
+Divergence note: all lanes iterate until the slowest ray finishes; rays that
+terminate early become masked no-ops. Wavefront compaction between bounces
+(pt/integrator.py) keeps wavefronts dense; in-traversal compaction is a
+later optimization (see SURVEY.md section 7 "hard parts").
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh import BVH2, LEAF_MAX
+from .intersect import Hit, TriSoup, _moller_trumbore, ray_aabb
+
+STACK_DEPTH = 64
+MAX_ITERS = 500_000
+
+
+class _TraceState(NamedTuple):
+    stack: jnp.ndarray     # (N, STACK_DEPTH) i32
+    sp: jnp.ndarray        # (N,) i32
+    best_t: jnp.ndarray    # (N,)
+    best_prim: jnp.ndarray  # (N,) i32 (leaf-order index; -1 miss)
+    best_uv: jnp.ndarray   # (N,2)
+    iters: jnp.ndarray     # () i32
+
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
+def _trace(child_bounds, child_idx, verts, origins, dirs, t_min, t_max,
+           active, leaf_size: int = 4, any_hit: bool = False):
+    n = origins.shape[0]
+    inv_d = _safe_inv(dirs)
+    lanes = jnp.arange(n)
+
+    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)  # root node = 0
+    sp = jnp.where(active, 1, 0).astype(jnp.int32)
+
+    init = _TraceState(
+        stack=stack, sp=sp,
+        best_t=jnp.broadcast_to(t_max, (n,)).astype(jnp.float32),
+        best_prim=jnp.full((n,), -1, jnp.int32),
+        best_uv=jnp.zeros((n, 2), jnp.float32),
+        iters=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(st: _TraceState):
+        return jnp.any(st.sp > 0) & (st.iters < MAX_ITERS)
+
+    def body(st: _TraceState):
+        has = st.sp > 0
+        top_i = jnp.maximum(st.sp - 1, 0)
+        top = st.stack[lanes, top_i]
+        sp = jnp.where(has, st.sp - 1, st.sp)
+        is_leaf = top < 0
+        do_node = has & ~is_leaf
+        do_leaf = has & is_leaf
+
+        # ---- internal node step
+        node = jnp.where(do_node, top, 0)
+        cb = child_bounds[node]              # (N,12)
+        ci = child_idx[node]                 # (N,2)
+        hit_l, t_l = ray_aabb(origins, inv_d, cb[:, 0:3], cb[:, 3:6],
+                              t_min, st.best_t)
+        hit_r, t_r = ray_aabb(origins, inv_d, cb[:, 6:9], cb[:, 9:12],
+                              t_min, st.best_t)
+        near_l = t_l <= t_r
+        first = jnp.where(near_l, ci[:, 0], ci[:, 1])
+        second = jnp.where(near_l, ci[:, 1], ci[:, 0])
+        hit_first = jnp.where(near_l, hit_l, hit_r)
+        hit_second = jnp.where(near_l, hit_r, hit_l)
+        # empty-leaf code -1 encodes start=0,count=0; cheap to skip here
+        push2 = do_node & hit_second & (second != -1)
+        stack = st.stack.at[lanes, jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            jnp.where(push2, second, st.stack[lanes,
+                                              jnp.minimum(sp,
+                                                          STACK_DEPTH - 1)]))
+        sp = sp + push2.astype(jnp.int32)
+        push1 = do_node & hit_first & (first != -1)
+        stack = stack.at[lanes, jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            jnp.where(push1, first, stack[lanes,
+                                          jnp.minimum(sp, STACK_DEPTH - 1)]))
+        sp = sp + push1.astype(jnp.int32)
+
+        # ---- leaf step: unrolled masked triangle tests
+        v = -jnp.where(do_leaf, top, -1) - 1
+        start = v >> 5
+        count = v & LEAF_MAX
+        best_t, best_prim, best_uv = st.best_t, st.best_prim, st.best_uv
+        for k in range(leaf_size):
+            m = do_leaf & (k < count)
+            tri = jnp.clip(start + k, 0, verts.shape[0] - 1)
+            tv = verts[tri]
+            h, t, u, vv = _moller_trumbore(origins, dirs, tv, t_min, best_t)
+            h = h & m
+            best_prim = jnp.where(h, tri, best_prim)
+            best_uv = jnp.where(h[:, None], jnp.stack([u, vv], -1), best_uv)
+            best_t = jnp.where(h, t, best_t)
+        if any_hit:
+            # terminate rays that found any intersection
+            found = best_prim >= 0
+            sp = jnp.where(found, 0, sp)
+
+        return _TraceState(stack, sp, best_t, best_prim, best_uv,
+                           st.iters + 1)
+
+    st = jax.lax.while_loop(cond, body, init)
+    return st.best_t, st.best_prim, st.best_uv
+
+
+def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
+                  t_max=1e30, active=None, leaf_size: int = 4) -> Hit:
+    """Closest-hit trace (Bridge::traceScatterRay equivalent). Returns Hit
+    with prim mapped back to original scene triangle indices."""
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t, prim, uv = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
+                         origins, dirs, jnp.asarray(t_min, jnp.float32),
+                         t_max, active, leaf_size=leaf_size, any_hit=False)
+    orig = jnp.where(prim >= 0, soup.prim_id[jnp.maximum(prim, 0)], -1)
+    return Hit(t, orig, uv)
+
+
+def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
+                 t_max=1e30, active=None, leaf_size: int = 4):
+    """Visibility trace (Bridge::traceVisibilityRay equivalent): True where
+    occluded. Inactive rays report unoccluded."""
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    _, prim, _ = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
+                        origins, dirs, jnp.asarray(t_min, jnp.float32),
+                        t_max, active, leaf_size=leaf_size, any_hit=True)
+    return prim >= 0

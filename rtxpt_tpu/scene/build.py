@@ -1,0 +1,185 @@
+"""Host-side scene assembly (numpy): mesh pool + instance flattening.
+
+Equivalent of donut::engine::Scene::CreateMeshBuffers + SceneGraph transform
+refresh (donut/src/engine/Scene.cpp, SceneGraph.cpp) in numpy. Instances are
+flattened to world space; the result uploads as one SceneArrays pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from .types import MaterialTable, SceneArrays, default_material_table
+
+
+@dataclasses.dataclass
+class Mesh:
+    """One geometry in object space."""
+    positions: np.ndarray            # (V,3)
+    indices: np.ndarray              # (T,3)
+    normals: Optional[np.ndarray] = None
+    tangents: Optional[np.ndarray] = None   # (V,4)
+    uvs: Optional[np.ndarray] = None
+    material: int = 0                # material id
+
+
+@dataclasses.dataclass
+class Instance:
+    mesh: int                        # mesh id
+    transform: np.ndarray            # (3,4) affine, row-major
+    material_override: int = -1
+
+
+def compute_vertex_normals(positions: np.ndarray,
+                           indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    n = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(n, indices[:, k], fn)
+    l = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(l, 1e-20)).astype(np.float32)
+
+
+def compute_tangents(positions, normals, uvs, indices) -> np.ndarray:
+    """MikkTSpace-style averaged tangents from UV derivatives; falls back to
+    an arbitrary frame where UVs are degenerate."""
+    v = positions.shape[0]
+    tan = np.zeros((v, 3), np.float64)
+    p = [positions[indices[:, k]] for k in range(3)]
+    t = [uvs[indices[:, k]] for k in range(3)]
+    e1, e2 = p[1] - p[0], p[2] - p[0]
+    du1, dv1 = t[1][:, 0] - t[0][:, 0], t[1][:, 1] - t[0][:, 1]
+    du2, dv2 = t[2][:, 0] - t[0][:, 0], t[2][:, 1] - t[0][:, 1]
+    r = du1 * dv2 - du2 * dv1
+    r = np.where(np.abs(r) < 1e-12, 1.0, r)
+    tdir = ((dv2[:, None] * e1 - dv1[:, None] * e2) / r[:, None])
+    for k in range(3):
+        np.add.at(tan, indices[:, k], tdir)
+    # Gram-Schmidt against the normal
+    tan -= normals * np.sum(tan * normals, axis=-1, keepdims=True)
+    l = np.linalg.norm(tan, axis=-1, keepdims=True)
+    bad = l[:, 0] < 1e-8
+    # fallback frame for degenerate UVs
+    alt = np.cross(normals, np.array([0.0, 1.0, 0.0]))
+    alt2 = np.cross(normals, np.array([1.0, 0.0, 0.0]))
+    alt = np.where(np.linalg.norm(alt, axis=-1, keepdims=True) < 1e-4,
+                   alt2, alt)
+    tan = np.where(bad[:, None], alt, tan / np.maximum(l, 1e-20))
+    w = np.ones((v, 1), np.float32)
+    return np.concatenate([tan.astype(np.float32), w], axis=-1)
+
+
+class SceneBuilder:
+    """Accumulates meshes/instances/materials; `finish()` flattens to world
+    space and returns host-side numpy SceneArrays fields."""
+
+    def __init__(self):
+        self.meshes: List[Mesh] = []
+        self.instances: List[Instance] = []
+        self.material_fields: dict = {k: [] for k in
+                                      default_material_table(0)}
+        self._nmat = 0
+
+    def add_material(self, **kwargs) -> int:
+        defaults = default_material_table(1)
+        for k, arr in defaults.items():
+            v = kwargs.pop(k, arr[0])
+            self.material_fields[k].append(np.asarray(v, arr.dtype))
+        if kwargs:
+            raise ValueError(f"unknown material fields: {list(kwargs)}")
+        self._nmat += 1
+        return self._nmat - 1
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def add_instance(self, mesh: int, transform: Optional[np.ndarray] = None,
+                     material_override: int = -1) -> int:
+        if transform is None:
+            transform = np.eye(3, 4, dtype=np.float32)
+        self.instances.append(Instance(mesh, np.asarray(transform,
+                                                        np.float32),
+                                       material_override))
+        return len(self.instances) - 1
+
+    def finish(self) -> dict:
+        if self._nmat == 0:
+            self.add_material()
+        pos_l, nrm_l, tan_l, uv_l, idx_l, mat_l, inst_l = \
+            [], [], [], [], [], [], []
+        voffset = 0
+        for iid, inst in enumerate(self.instances):
+            m = self.meshes[inst.mesh]
+            xf = inst.transform
+            p = m.positions @ xf[:, :3].T + xf[:, 3]
+            # normal matrix = inverse-transpose of linear part
+            lin = xf[:, :3]
+            nrm_m = np.linalg.inv(lin).T
+            n = m.normals if m.normals is not None else \
+                compute_vertex_normals(m.positions, m.indices)
+            n = n @ nrm_m.T
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+            uv = m.uvs if m.uvs is not None else \
+                np.zeros((p.shape[0], 2), np.float32)
+            if m.tangents is not None:
+                t4 = m.tangents.copy()
+                t4[:, :3] = t4[:, :3] @ lin.T
+                t4[:, :3] /= np.maximum(
+                    np.linalg.norm(t4[:, :3], axis=-1, keepdims=True), 1e-20)
+            else:
+                t4 = compute_tangents(p, n, uv, m.indices)
+            pos_l.append(p.astype(np.float32))
+            nrm_l.append(n.astype(np.float32))
+            tan_l.append(t4.astype(np.float32))
+            uv_l.append(uv.astype(np.float32))
+            idx_l.append(m.indices.astype(np.int32) + voffset)
+            mid = (inst.material_override if inst.material_override >= 0
+                   else m.material)
+            mat_l.append(np.full((m.indices.shape[0],), mid, np.int32))
+            inst_l.append(np.full((m.indices.shape[0],), iid, np.int32))
+            voffset += p.shape[0]
+
+        mats = {k: np.stack(v) if np.ndim(v[0]) else np.array(v)
+                for k, v in self.material_fields.items()}
+        return dict(
+            positions=np.concatenate(pos_l) if pos_l
+            else np.zeros((0, 3), np.float32),
+            normals=np.concatenate(nrm_l) if nrm_l
+            else np.zeros((0, 3), np.float32),
+            tangents=np.concatenate(tan_l) if tan_l
+            else np.zeros((0, 4), np.float32),
+            uvs=np.concatenate(uv_l) if uv_l
+            else np.zeros((0, 2), np.float32),
+            indices=np.concatenate(idx_l) if idx_l
+            else np.zeros((0, 3), np.int32),
+            tri_mat=np.concatenate(mat_l) if mat_l
+            else np.zeros((0,), np.int32),
+            tri_instance=np.concatenate(inst_l) if inst_l
+            else np.zeros((0,), np.int32),
+            materials=mats,
+        )
+
+
+def to_device(host: dict, textures=None) -> SceneArrays:
+    """Upload host dict from SceneBuilder.finish() as a SceneArrays pytree."""
+    import jax.numpy as jnp
+    mt = MaterialTable(**{k: jnp.asarray(v)
+                          for k, v in host["materials"].items()})
+    return SceneArrays(
+        positions=jnp.asarray(host["positions"]),
+        normals=jnp.asarray(host["normals"]),
+        tangents=jnp.asarray(host["tangents"]),
+        uvs=jnp.asarray(host["uvs"]),
+        indices=jnp.asarray(host["indices"]),
+        tri_mat=jnp.asarray(host["tri_mat"]),
+        tri_instance=jnp.asarray(host["tri_instance"]),
+        materials=mt,
+        textures=textures,
+    )

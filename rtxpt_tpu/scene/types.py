@@ -1,0 +1,113 @@
+"""Flat SoA scene representation resident in HBM.
+
+TPU-native equivalent of the reference's GPU scene residency layer
+(donut/src/engine/Scene.cpp CreateMeshBuffers; donut/include/donut/shaders/
+bindless.h InstanceData/GeometryData; material_cb.h MaterialConstants).
+
+Bindless access is free on TPU: every buffer is just an array and every
+"descriptor index" is an integer index. Geometry is stored as one global
+vertex/index pool with per-triangle material/instance ids (instances are
+pre-transformed to world space on (re)build — the TLAS/BLAS split collapses
+to a single world-space LBVH; skinned/animated instances re-transform their
+vertex range per frame, which is a bandwidth-bound jnp op).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MaterialTable(NamedTuple):
+    """Per-material constants, SoA over M materials.
+
+    Mirrors donut's MaterialConstants as consumed by
+    PathTracerBridgeDonut.hlsli:444-521 (the StandardBSDFData conversion
+    happens at shading time in pt/shading.py, exactly as in the reference).
+    """
+    base_color: jnp.ndarray            # (M,3) linear albedo
+    metalness: jnp.ndarray             # (M,)
+    roughness: jnp.ndarray             # (M,) linear (pre-remap) roughness
+    ior: jnp.ndarray                   # (M,) interior index of refraction
+    transmission: jnp.ndarray          # (M,) specular transmission factor
+    diffuse_transmission: jnp.ndarray  # (M,)
+    emissive: jnp.ndarray              # (M,3) radiance (already x intensity)
+    thin_surface: jnp.ndarray          # (M,) bool
+    nested_priority: jnp.ndarray       # (M,) int32, 0 -> max priority
+    volume_absorption: jnp.ndarray     # (M,3) sigma_a for Beer-Lambert
+    excluded_from_nee: jnp.ndarray     # (M,) bool
+    shadow_nol_fadeout: jnp.ndarray    # (M,) low-grazing shadow fade
+    # texture indices into the scene texture stack; -1 = constant
+    base_tex: jnp.ndarray              # (M,) int32
+    emissive_tex: jnp.ndarray          # (M,) int32
+    metal_rough_tex: jnp.ndarray       # (M,) int32
+    normal_tex: jnp.ndarray            # (M,) int32
+    transmission_tex: jnp.ndarray      # (M,) int32
+    alpha_mode: jnp.ndarray            # (M,) int32: 0 opaque, 1 mask, 2 blend
+    alpha_cutoff: jnp.ndarray          # (M,)
+
+    @property
+    def count(self) -> int:
+        return self.base_color.shape[0]
+
+
+class TextureStack(NamedTuple):
+    """All scene textures resampled into one (K, TH, TW, 4) array (mip 0)
+    plus a mip pyramid, so texture fetch is a single gather per tap.
+    Mirrors the bindless texture table (t_BindlessTextures)."""
+    mips: tuple                        # tuple of (K, H>>l, W>>l, 4) arrays
+    sizes: jnp.ndarray                 # (K, 2) true (w, h) before padding
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.mips)
+
+
+class SceneArrays(NamedTuple):
+    """The whole scene as a pytree of device arrays (world space)."""
+    # geometry pool
+    positions: jnp.ndarray       # (V,3) f32 world-space
+    normals: jnp.ndarray         # (V,3) f32
+    tangents: jnp.ndarray        # (V,4) f32 (xyz tangent, w bitangent sign)
+    uvs: jnp.ndarray             # (V,2) f32
+    indices: jnp.ndarray         # (T,3) i32
+    tri_mat: jnp.ndarray         # (T,)  i32 material id per triangle
+    tri_instance: jnp.ndarray    # (T,)  i32 instance id (motion vectors)
+    materials: MaterialTable
+    textures: Optional[TextureStack]
+    # NEE local lights: emissive triangle ids + analytic lights live in
+    # scene/lights.py LightTable (built host-side per frame)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+
+def default_material_table(n: int = 1) -> dict:
+    """Host-side (numpy) dict of default material fields, length n."""
+    return dict(
+        base_color=np.full((n, 3), 0.8, np.float32),
+        metalness=np.zeros((n,), np.float32),
+        roughness=np.full((n,), 0.5, np.float32),
+        ior=np.full((n,), 1.5, np.float32),
+        transmission=np.zeros((n,), np.float32),
+        diffuse_transmission=np.zeros((n,), np.float32),
+        emissive=np.zeros((n, 3), np.float32),
+        thin_surface=np.zeros((n,), bool),
+        nested_priority=np.zeros((n,), np.int32),
+        volume_absorption=np.zeros((n, 3), np.float32),
+        excluded_from_nee=np.zeros((n,), bool),
+        shadow_nol_fadeout=np.zeros((n,), np.float32),
+        base_tex=np.full((n,), -1, np.int32),
+        emissive_tex=np.full((n,), -1, np.int32),
+        metal_rough_tex=np.full((n,), -1, np.int32),
+        normal_tex=np.full((n,), -1, np.int32),
+        transmission_tex=np.full((n,), -1, np.int32),
+        alpha_mode=np.zeros((n,), np.int32),
+        alpha_cutoff=np.full((n,), 0.5, np.float32),
+    )
