@@ -1,0 +1,59 @@
+"""Benchmark: reference-mode path tracing throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measured: steady-state full-material reference-mode samples/sec at 800x600
+on the programmer-art scene (BASELINE configs 1-3 class workload), reported
+as Mpaths/s (one path = one full multi-bounce sample incl. NEE shadow rays).
+
+vs_baseline: ratio against the driver-mandated end target of 30 fps at
+1080p 1spp realtime (BASELINE.md config 5) = 62.2 Mpaths/s. No reference-
+published numbers exist (BASELINE.json published={}).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WIDTH, HEIGHT = 320, 240
+WARMUP = 1
+ITERS = 2
+TARGET_PATHS_PER_SEC = 1920 * 1080 * 30  # 62.2M (config 5 goal)
+
+
+def main():
+    import numpy as np
+    from rtxpt_tpu.models.renderer import Renderer, reference_config
+    from rtxpt_tpu.scene import envmap as EM
+    from rtxpt_tpu.scene import procedural
+
+    cfg = reference_config(max_bounces=4, max_diffuse_bounces=3,
+                           nee_distant_samples=1, nee_local_samples=1)
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(WIDTH, HEIGHT)
+    r = Renderer(host, cam, cfg,
+                 env_radiance=EM.bake_procedural_sky(height=64))
+
+    # NOTE: materialize to host (np.asarray) — on the axon TPU tunnel,
+    # block_until_ready alone does not reliably synchronize.
+    for i in range(WARMUP):
+        np.asarray(r.render_sample(WIDTH, HEIGHT, i))
+    t0 = time.time()
+    for i in range(ITERS):
+        np.asarray(r.render_sample(WIDTH, HEIGHT, WARMUP + i))
+    dt = (time.time() - t0) / ITERS
+
+    paths_per_sec = WIDTH * HEIGHT / dt
+    print(json.dumps({
+        "metric": "reference-mode path throughput (320x240, full BSDF, "
+                  "NEE 1+1, 4 bounces, programmer-art)",
+        "value": round(paths_per_sec / 1e6, 4),
+        "unit": "Mpaths/s",
+        "vs_baseline": round(paths_per_sec / TARGET_PATHS_PER_SEC, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Headless render CLI — the golden-image harness.
+
+Mirrors the reference's CLI contract (RTXPT/CommandLine.h:16-34:
+--scene/--width/--height/--nonInteractive/--noWindow/--screenshotFileName/
+--screenshotFrameIndex): renders headless, saves the image, exits 0/1.
+This is the de-facto integration-test entry point (SURVEY.md section 4.2).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_arg_parser():
+    p = argparse.ArgumentParser("rtxpt_tpu headless renderer")
+    p.add_argument("--scene", default="programmer-art",
+                   help="'programmer-art' | path to .gltf/.glb/.scene.json")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp", type=int, default=16,
+                   help="samples per pixel (reference accumulation target)")
+    p.add_argument("--mode", choices=["reference", "realtime"],
+                   default="reference")
+    p.add_argument("--output", default="out.png",
+                   help="screenshot file name (PNG)")
+    p.add_argument("--dump-npy", default=None,
+                   help="also dump linear HDR as .npy")
+    p.add_argument("--screenshot-frame-index", type=int, default=None,
+                   help="render this many frames then save+exit "
+                   "(reference --screenshotFrameIndex contract); "
+                   "overrides --spp in reference mode")
+    p.add_argument("--diffuse-only", action="store_true",
+                   help="BASELINE config 1: diffuse-only BSDF")
+    p.add_argument("--max-bounces", type=int, default=30)
+    p.add_argument("--max-diffuse-bounces", type=int, default=None)
+    p.add_argument("--nee-distant-samples", type=int, default=2)
+    p.add_argument("--nee-local-samples", type=int, default=2)
+    p.add_argument("--no-nee", action="store_true")
+    p.add_argument("--no-jitter", action="store_true")
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--no-auto-expose", action="store_true")
+    p.add_argument("--sky-scale", type=float, default=1.0)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def load_scene(args):
+    from ..scene import procedural
+    if args.scene == "programmer-art":
+        sb = procedural.build_programmer_art(diffuse_only=args.diffuse_only)
+        host = sb.finish()
+        cam = procedural.default_camera(args.width, args.height)
+        return host, cam, None
+    if args.scene.endswith((".gltf", ".glb")):
+        from ..scene import gltf
+        host, cam_info = gltf.load_gltf(args.scene)
+        cam = gltf.camera_from_info(cam_info, args.width, args.height)
+        return host, cam, None
+    if args.scene.endswith(".json"):
+        from ..scene import scene_json
+        return scene_json.load_scene_json(args.scene, args.width,
+                                          args.height)
+    raise SystemExit(f"unknown scene: {args.scene}")
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    from ..models.renderer import Renderer, reference_config, \
+        realtime_config
+    from ..scene import envmap as EM
+    from ..utils import image as IM
+
+    host, cam, extra = load_scene(args)
+    cfg_fn = reference_config if args.mode == "reference" else \
+        realtime_config
+    cfg = cfg_fn(
+        max_bounces=args.max_bounces,
+        nee_enabled=not args.no_nee,
+        nee_distant_samples=args.nee_distant_samples,
+        nee_local_samples=args.nee_local_samples,
+    )
+    if args.max_diffuse_bounces is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, max_diffuse_bounces=args.max_diffuse_bounces)
+
+    env = EM.bake_procedural_sky(sky_scale=args.sky_scale)
+    r = Renderer(host, cam, cfg, env_radiance=env)
+
+    spp = args.spp
+    if args.screenshot_frame_index is not None:
+        spp = args.screenshot_frame_index
+
+    t0 = time.time()
+    times = []
+
+    def progress(i):
+        times.append(time.time())
+        if not args.quiet and (i % max(1, spp // 8) == 0 or i == spp):
+            dt = times[-1] - (times[-2] if len(times) > 1 else t0)
+            print(f"  sample {i}/{spp}  ({dt * 1000:.0f} ms/sample)",
+                  flush=True)
+
+    hdr = r.render(args.width, args.height, spp, not args.no_jitter,
+                   progress)
+    srgb = r.tonemapped(hdr, exposure=args.exposure,
+                        auto_expose=not args.no_auto_expose)
+    import jax
+    jax.block_until_ready(srgb)
+    total = time.time() - t0
+    # per-sample timing excluding compile (first sample)
+    steady = (times[-1] - times[0]) / max(len(times) - 1, 1) if \
+        len(times) > 1 else total
+    n_rays = args.width * args.height
+    if not args.quiet:
+        print(f"rendered {args.width}x{args.height} @ {spp}spp in "
+              f"{total:.1f}s; steady-state {steady * 1000:.0f} ms/sample "
+              f"({n_rays / max(steady, 1e-9) / 1e6:.2f} Mpaths/s)")
+
+    IM.save_png(args.output, srgb)
+    if args.dump_npy:
+        IM.save_npy(args.dump_npy, hdr)
+    if not args.quiet:
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Layered configuration (defaults < scene settings < CLI overrides).
+
+Collapses the reference's 4-tier config system (SURVEY.md section 5):
+compile-time Config.h + shader permutations, CMake options, runtime
+SampleUIData (RTXPT/SampleUI.h:127+) and per-scene SampleSettings
+(RTXPT/ExtendedScene.h:83), and CLI flags (RTXPT/CommandLine.h:16-34).
+
+`PTConfig` is hashable/frozen so it can feed `jax.jit` static args: a config
+change re-specializes the kernels exactly like the reference's shader
+permutations (shaders.cfg PATH_TRACER_MODE x USE_HIT_OBJECT_EXTENSION).
+`PTConstants` are the "volatile constant buffer" values that can change per
+frame without recompiling (SampleConstantBuffer.h PathTracerConstants).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+# Path tracer modes (reference: PathTracer/Config.h:41-43)
+MODE_REFERENCE = 0
+MODE_BUILD_STABLE_PLANES = 1
+MODE_FILL_STABLE_PLANES = 2
+
+# NEE distant sampler types (SampleUI.h:147)
+NEE_DISTANT_UNIFORM = 0
+NEE_DISTANT_MIP_DESCENT = 1
+NEE_DISTANT_PRESAMPLED = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    """Static (jit-specializing) configuration."""
+    mode: int = MODE_REFERENCE
+    max_bounces: int = 30                 # SampleUI BounceCount default
+    max_diffuse_bounces: int = 6          # reference-mode default (UI:163)
+    nee_enabled: bool = True
+    nee_distant_type: int = NEE_DISTANT_MIP_DESCENT
+    nee_distant_samples: int = 2          # SampleUI.h:149
+    nee_local_samples: int = 2            # SampleUI.h:152
+    enable_russian_roulette: bool = True
+    use_env_lights: bool = True           # PathTracer.hlsli:22
+    use_emissive_lights: bool = True
+    use_analytic_lights: bool = True
+    stable_plane_count: int = 3           # Config.h:81
+    leaf_size: int = 4
+    # realtime-spine toggles (later phases)
+    use_restir_di: bool = False
+    use_restir_gi: bool = False
+    denoiser_enabled: bool = False
+    realtime_noise: bool = True           # Sample.cpp:1572 determinism switch
+
+
+class PTConstants(NamedTuple):
+    """Per-frame dynamic constants (PathTracerConstants equivalent,
+    SampleConstantBuffer.h:20-46). All 0-d arrays: changing them does NOT
+    retrigger compilation."""
+    firefly_filter_threshold: jnp.ndarray   # 0 disables (Sample.cpp:1605)
+    nee_min_radiance_threshold: jnp.ndarray
+    texlod_bias: jnp.ndarray
+    sample_base_index: jnp.ndarray          # accumulation sample index
+    noisy_radiance_attenuation: jnp.ndarray  # Bridge::getNoisyRadianceAtten.
+
+
+def default_constants(sample_base_index: int = 0) -> PTConstants:
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return PTConstants(
+        firefly_filter_threshold=f32(0.0),
+        nee_min_radiance_threshold=f32(1e-5),
+        texlod_bias=f32(0.0),
+        sample_base_index=jnp.asarray(sample_base_index, jnp.uint32),
+        noisy_radiance_attenuation=f32(1.0),
+    )
+
+
+def apply_scene_settings(cfg: PTConfig, settings: dict) -> PTConfig:
+    """Apply a .scene.json SampleSettings node (ExtendedScene.h:83,
+    consumed at Sample.cpp:629-649)."""
+    mapping = {
+        "MaxBounces": "max_bounces",
+        "MaxDiffuseBounces": "max_diffuse_bounces",
+        "RealtimeMode": None,
+        "EnableRussianRoulette": "enable_russian_roulette",
+    }
+    updates = {}
+    for k, v in settings.items():
+        field = mapping.get(k, k if k in {f.name for f in
+                                          dataclasses.fields(cfg)} else None)
+        if field:
+            updates[field] = v
+    return dataclasses.replace(cfg, **updates) if updates else cfg

@@ -1,0 +1,125 @@
+"""Renderer: frame orchestration (the Sample class equivalent).
+
+TPU-native replacement for the reference's host orchestration
+(RTXPT/Sample.cpp Render/PathTrace/PreUpdatePathTracing): owns device scene
+arrays + BVH + env map + light table, compiles the frame function once per
+(config, resolution) like the reference builds pipeline permutations, and
+drives reference-mode accumulation (Sample.cpp:1530-1566, 2469-2474).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as C
+from ..core import rng
+from ..ops import bvh as bvh_mod
+from ..ops.intersect import TriSoup
+from ..post import accumulation, tonemap
+from ..pt import integrator
+from ..scene import envmap as EM
+from ..scene import lights as LI
+from ..scene.build import to_device
+from ..scene.camera import CameraData
+
+
+def reference_config(**overrides) -> C.PTConfig:
+    """Reference (accumulation) mode defaults (SampleUI.h:162-167)."""
+    base = dict(mode=C.MODE_REFERENCE, max_bounces=30,
+                max_diffuse_bounces=6, enable_russian_roulette=True)
+    base.update(overrides)
+    return C.PTConfig(**base)
+
+
+def realtime_config(**overrides) -> C.PTConfig:
+    """Real-time mode defaults (SampleUI.h:158-168)."""
+    base = dict(mode=C.MODE_REFERENCE, max_bounces=30,
+                max_diffuse_bounces=3, enable_russian_roulette=True,
+                use_restir_di=False, use_restir_gi=False)
+    base.update(overrides)
+    return C.PTConfig(**base)
+
+
+def r2_jitter(index: int):
+    """R2 low-discrepancy AA jitter sequence in [-0.5, 0.5)^2
+    (reference jitter options, TemporalAntiAliasingPass + NoiseAndSequences
+    R2seq)."""
+    a1, a2 = 0.7548776662466927, 0.5698402909980532
+    return (((0.5 + a1 * index) % 1.0) - 0.5,
+            ((0.5 + a2 * index) % 1.0) - 0.5)
+
+
+class Renderer:
+    def __init__(self, host_scene: dict, camera: CameraData,
+                 cfg: Optional[C.PTConfig] = None,
+                 env_radiance=None, analytic_lights=None,
+                 env_intensity: float = 1.0):
+        self.cfg = cfg or reference_config()
+        self.camera = camera
+        self.scene = to_device(host_scene)
+        self.bvh = bvh_mod.build_bvh(host_scene["positions"],
+                                     host_scene["indices"],
+                                     leaf_size=self.cfg.leaf_size)
+        self.soup = TriSoup.build(self.scene.positions, self.scene.indices,
+                                  self.bvh.order)
+        if env_radiance is None:
+            env_radiance = EM.bake_procedural_sky()
+        self.env = EM.make_envmap(env_radiance, intensity=env_intensity,
+                                  enabled=self.cfg.use_env_lights)
+        self.lights = (LI.build_light_table(host_scene, analytic_lights)
+                       if self.cfg.use_emissive_lights else None)
+        self.assets = integrator.RenderAssets(
+            scene=self.scene, bvh=self.bvh, soup=self.soup, env=self.env,
+            lights=self.lights)
+        self._render_jit = jax.jit(functools.partial(
+            integrator.render_wavefront, cfg=self.cfg))
+        # accumulation state (resumable: buffer + index are the checkpoint)
+        self.accum = None
+        self.sample_index = 0
+
+    def _pixel_grid(self, width: int, height: int):
+        yy, xx = np.mgrid[0:height, 0:width]
+        return (jnp.asarray(xx.reshape(-1).astype(np.uint32)),
+                jnp.asarray(yy.reshape(-1).astype(np.uint32)))
+
+    def render_sample(self, width: int, height: int, sample_index: int,
+                      jitter_aa: bool = True):
+        """One sample per pixel at the given accumulation index."""
+        px, py = self._pixel_grid(width, height)
+        jit = r2_jitter(sample_index) if jitter_aa else (0.0, 0.0)
+        cam = self.camera._replace(
+            jitter=jnp.asarray(jit, jnp.float32),
+            viewport=jnp.asarray([width, height], jnp.float32))
+        consts = C.default_constants(sample_base_index=sample_index)
+        radiance = self._render_jit(self.assets, cam, px, py, consts=consts)
+        return radiance.reshape(height, width, 3)
+
+    def render(self, width: int, height: int, spp: int,
+               jitter_aa: bool = True, progress=None):
+        """Reference-mode accumulation of `spp` samples -> HDR (H,W,3)."""
+        if self.accum is None:
+            self.accum = jnp.zeros((height, width, 3), jnp.float32)
+            self.sample_index = 0
+        for _ in range(spp):
+            s = self.render_sample(width, height, self.sample_index,
+                                   jitter_aa)
+            self.accum = accumulation.accumulate(self.accum, s,
+                                                 self.sample_index)
+            self.sample_index += 1
+            if progress is not None:
+                progress(self.sample_index)
+        return self.accum
+
+    def reset_accumulation(self):
+        self.accum = None
+        self.sample_index = 0
+
+    def tonemapped(self, hdr, exposure: float = 1.0,
+                   auto_expose: bool = True):
+        return tonemap.tonemap(hdr, exposure=exposure,
+                               auto_expose=auto_expose)

@@ -1,0 +1,203 @@
+"""Surface loading + shading frame: the Bridge::loadSurface equivalent.
+
+TPU-native port of:
+  - RTXPT/PathTracerBridgeDonut.hlsli:364-528 (loadSurface: vertex fetch,
+    interpolation, tangent space, material -> StandardBSDFData conversion)
+  - RTXPT/PathTracer/Scene/ShadingData.hlsli (frame transforms,
+    computeNewRayOrigin)
+  - RTXPT/PathTracer/Scene/Material/ShadingUtils.hlsli (computeTangentSpace,
+    adjustShadingNormal)
+
+Operates on a whole wavefront of hits at once: every "fetch" is a gather
+from the flat SoA scene arrays, every per-lane branch a masked select.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import mathutils as mu
+from ..scene.types import SceneArrays
+from . import bsdf as B
+
+K_MAX_NESTED_PRIORITY = 14  # InteriorList.hlsli kMaxNestedPriority
+
+
+class ShadingData(NamedTuple):
+    """ShadingData SoA (ShadingData.hlsli:20-127)."""
+    pos: jnp.ndarray            # (N,3) world hit position
+    v: jnp.ndarray              # (N,3) toward viewer (= -rayDir)
+    n: jnp.ndarray              # (N,3) shading normal (view-side corrected)
+    t: jnp.ndarray              # (N,3) tangent
+    b: jnp.ndarray              # (N,3) bitangent
+    uv: jnp.ndarray             # (N,2)
+    face_n: jnp.ndarray         # (N,3) triangle normal (winding side)
+    vertex_n: jnp.ndarray       # (N,3) interpolated normal (view side)
+    front_facing: jnp.ndarray   # (N,) bool
+    material_id: jnp.ndarray    # (N,) i32
+    opacity: jnp.ndarray        # (N,)
+    ior: jnp.ndarray            # (N,) outside IoR (1.0 unless nested)
+    shadow_nol_fadeout: jnp.ndarray  # (N,)
+    thin_surface: jnp.ndarray   # (N,) bool
+    nested_priority: jnp.ndarray  # (N,) i32 in [1, kMaxNestedPriority]
+
+    def to_local(self, v):
+        return mu.to_local(v, self.t, self.b, self.n)
+
+    def from_local(self, v):
+        return mu.from_local(v, self.t, self.b, self.n)
+
+    def oriented_face_normal(self):
+        return jnp.where(self.front_facing[..., None], self.face_n,
+                         -self.face_n)
+
+    def compute_new_ray_origin(self, viewside):
+        """ShadingData::computeNewRayOrigin (ShadingData.hlsli:95-98)."""
+        side = (self.front_facing == viewside)
+        fn = jnp.where(side[..., None], self.face_n, -self.face_n)
+        return mu.compute_ray_origin(self.pos, fn)
+
+
+class SurfaceData(NamedTuple):
+    """Bridge::loadSurface output: shading data + BSDF + emission
+    (PathTracerTypes.hlsli SurfaceData)."""
+    sd: ShadingData
+    bsdf_data: B.BSDFData
+    emission: jnp.ndarray       # (N,3)
+    interior_ior: jnp.ndarray   # (N,) the material's own IoR
+
+
+def _compute_tangent_space(n, tangent_w):
+    """computeTangentSpace (ShadingUtils.hlsli:110-138)."""
+    txyz = tangent_w[..., :3]
+    tw = tangent_w[..., 3]
+    n_dot_t = jnp.sum(txyz * n, axis=-1)
+    non_parallel = jnp.abs(n_dot_t) < 0.9999
+    non_zero = jnp.sum(txyz * txyz, axis=-1) > 0.0
+    valid = (tw != 0.0) & non_zero & non_parallel
+    t_ortho = mu.safe_normalize(txyz - n * n_dot_t[..., None])
+    b_ortho = jnp.cross(n, t_ortho) * tw[..., None]
+    t_fallback = mu.safe_normalize(mu.perp_stark(n))
+    b_fallback = jnp.cross(n, t_fallback)
+    t = jnp.where(valid[..., None], t_ortho, t_fallback)
+    b = jnp.where(valid[..., None], b_ortho, b_fallback)
+    return t, b
+
+
+def _adjust_shading_normal(n, v, oriented_face_n, tangent_w):
+    """adjustShadingNormal (ShadingUtils.hlsli:144-165): blend shading
+    normal toward the geometric normal at grazing angles."""
+    ng = oriented_face_n
+    sign_n = jnp.where(jnp.sum(n * ng, axis=-1) >= 0.0, 1.0, -1.0)
+    ns = sign_n[..., None] * n
+    k = 0.1
+    cos_theta = jnp.sum(v * ns, axis=-1)
+    t_blend = mu.saturate(cos_theta * (1.0 / k))
+    blended = sign_n[..., None] * mu.safe_normalize(
+        mu.lerp(ng, ns, t_blend[..., None]))
+    n2 = jnp.where((cos_theta <= k)[..., None], blended, n)
+    t, b = _compute_tangent_space(n2, tangent_w)
+    return n2, t, b
+
+
+def load_surface(scene: SceneArrays, prim, bary, ray_dir,
+                 outside_ior=None) -> SurfaceData:
+    """Gather + interpolate surface attributes for a wavefront of hits and
+    build StandardBSDFData exactly like the bridge
+    (PathTracerBridgeDonut.hlsli:364-528).
+
+    prim: (N,) triangle ids (must be valid; mask invalid lanes downstream).
+    bary: (N,2) barycentrics (u=vert1, v=vert2).
+    ray_dir: (N,3); outside_ior: (N,) or None (vacuum).
+    """
+    prim = jnp.maximum(prim, 0)
+    tri = scene.indices[prim]                       # (N,3)
+    w = jnp.stack([1.0 - bary[..., 0] - bary[..., 1],
+                   bary[..., 0], bary[..., 1]], axis=-1)  # (N,3)
+
+    def interp(attr):
+        vals = attr[tri]                            # (N,3,C)
+        return jnp.sum(vals * w[..., None], axis=-2)
+
+    pos = interp(scene.positions)
+    nrm = mu.safe_normalize(interp(scene.normals))
+    tan = interp(scene.tangents)
+    uv = interp(scene.uvs)
+
+    p0 = scene.positions[tri[..., 0]]
+    p1 = scene.positions[tri[..., 1]]
+    p2 = scene.positions[tri[..., 2]]
+    face_n = mu.safe_normalize(jnp.cross(p1 - p0, p2 - p0))
+
+    v = -ray_dir
+    front_facing = jnp.sum(face_n * v, axis=-1) >= 0.0
+
+    # vertexN oriented to the view side (BridgeDonut:404)
+    vertex_n = jnp.where(front_facing[..., None], nrm, -nrm)
+    # all surfaces double-sided: flip shading normal for back hits (:535)
+    n = jnp.where(front_facing[..., None], nrm, -nrm)
+    oriented_ng = jnp.where(front_facing[..., None], face_n, -face_n)
+    n, t, b = _adjust_shading_normal(n, v, oriented_ng, tan)
+
+    # ---- material fetch + conversion (BridgeDonut:444-521)
+    mid = scene.tri_mat[prim]
+    m = scene.materials
+    base_color = m.base_color[mid]
+    metalness = m.metalness[mid]
+    roughness = m.roughness[mid]
+    mat_ior = m.ior[mid]
+    transmission = m.transmission[mid]
+    diffuse_transmission = m.diffuse_transmission[mid]
+    thin = m.thin_surface[mid]
+    nested_priority = jnp.minimum(
+        K_MAX_NESTED_PRIORITY, 1 + m.nested_priority[mid]).astype(jnp.int32)
+
+    spec_trans = transmission * (1.0 - metalness)
+    diff_trans = diffuse_transmission * (1.0 - metalness)
+    f = (mat_ior - 1.0) / (mat_ior + 1.0)
+    f0 = f * f
+    diffuse = base_color * (1.0 - metalness)[..., None]
+    specular = mu.lerp(f0[..., None] * jnp.ones_like(base_color),
+                       base_color, metalness[..., None])
+
+    if outside_ior is None:
+        outside_ior = jnp.ones_like(mat_ior)
+    eta = jnp.where(front_facing, outside_ior / mat_ior,
+                    mat_ior / outside_ior)
+
+    data = B.BSDFData(
+        diffuse=diffuse, specular=specular, roughness=roughness,
+        metallic=metalness, eta=eta, transmission=base_color,
+        diffuse_transmission=diff_trans, specular_transmission=spec_trans)
+
+    # single-sided emission (BridgeDonut:517)
+    emission = jnp.where(front_facing[..., None], m.emissive[mid], 0.0)
+
+    sd = ShadingData(
+        pos=pos, v=v, n=n, t=t, b=b, uv=uv, face_n=face_n,
+        vertex_n=vertex_n, front_facing=front_facing, material_id=mid,
+        opacity=jnp.ones_like(roughness), ior=outside_ior,
+        shadow_nol_fadeout=m.shadow_nol_fadeout[mid],
+        thin_surface=thin, nested_priority=nested_priority)
+    return SurfaceData(sd=sd, bsdf_data=data, emission=emission,
+                       interior_ior=mat_ior)
+
+
+def update_outside_ior(surface: SurfaceData, outside_ior) -> SurfaceData:
+    """Bridge::updateOutsideIoR (BridgeDonut:530-536): recompute eta after
+    the nested-dielectric resolve changed the outside IoR."""
+    sd = surface.sd._replace(ior=outside_ior)
+    eta = jnp.where(sd.front_facing, outside_ior / surface.interior_ior,
+                    surface.interior_ior / outside_ior)
+    data = surface.bsdf_data._replace(eta=eta)
+    return SurfaceData(sd=sd, bsdf_data=data, emission=surface.emission,
+                       interior_ior=surface.interior_ior)
+
+
+def make_wavefront_bsdf(surface: SurfaceData,
+                        active_lobes=None) -> B.FalcorBSDF:
+    """FalcorBSDF::make over a wavefront; cos_v = dot(V,N) in world space."""
+    cos_v = jnp.sum(surface.sd.v * surface.sd.n, axis=-1)
+    return B.make_bsdf(surface.bsdf_data, cos_v, surface.sd.thin_surface,
+                       active_lobes)

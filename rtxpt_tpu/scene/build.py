@@ -148,6 +148,17 @@ class SceneBuilder:
 
         mats = {k: np.stack(v) if np.ndim(v[0]) else np.array(v)
                 for k, v in self.material_fields.items()}
+        if not idx_l:
+            # degenerate never-hit triangle so gathers stay well-formed in
+            # empty scenes (Moller-Trumbore rejects zero-area triangles)
+            pos_l = [np.zeros((3, 3), np.float32)]
+            nrm_l = [np.tile(np.asarray([[0, 1, 0]], np.float32), (3, 1))]
+            tan_l = [np.tile(np.asarray([[1, 0, 0, 1]], np.float32),
+                             (3, 1))]
+            uv_l = [np.zeros((3, 2), np.float32)]
+            idx_l = [np.asarray([[0, 1, 2]], np.int32)]
+            mat_l = [np.zeros((1,), np.int32)]
+            inst_l = [np.zeros((1,), np.int32)]
         return dict(
             positions=np.concatenate(pos_l) if pos_l
             else np.zeros((0, 3), np.float32),

@@ -1,0 +1,230 @@
+"""Environment light: baked radiance map + importance sampling.
+
+TPU-native equivalent of the reference's distant-lighting stack:
+  - RTXPT/Lighting/EnvMapBaker.* (bake procedural sky / loaded texture +
+    directional analytic lights into the env map each frame)
+  - RTXPT/Lighting/EnvMapImportanceSamplingBaker.* (luminance MIP pyramid)
+  - RTXPT/PathTracer/Lighting/Distant.hlsli (EnvMap::Eval, EnvMapSampler:
+    UniformSample / MIPDescentSample / PreSampledSample + pdf evals for MIS)
+
+Representation: equirectangular (H, 2H, 3) float32 radiance (the reference
+uses a cubemap + octahedral importance map; equirect keeps direction<->texel
+mapping trivially invertible in jnp). The importance pyramid stores
+luminance x texel-solid-angle, so descent probabilities and pdfs are exact
+with no separate sin(theta) bookkeeping:
+    pdf_solid_angle(dir) = w_base[texel] / (total * omega_texel).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import mathutils as mu
+
+
+class EnvMap(NamedTuple):
+    radiance: jnp.ndarray      # (H, 2H, 3) f32, H power of two
+    mips: tuple                # importance pyramid, coarsest (1,2) first
+    total: jnp.ndarray         # () f32 sum of base weights
+    omega_rows: jnp.ndarray    # (H,) solid angle of one texel in row i
+    intensity: jnp.ndarray     # () f32 runtime scale
+    enabled: jnp.ndarray       # () bool
+
+    @property
+    def height(self) -> int:
+        return self.radiance.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.radiance.shape[1]
+
+
+def dir_to_uv(d):
+    """y-up equirect: u from azimuth, v from polar angle."""
+    phi = jnp.arctan2(d[..., 2], d[..., 0])
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    u = (phi + mu.M_PI) / mu.M_2PI
+    v = theta / mu.M_PI
+    return jnp.stack([u, v], axis=-1)
+
+
+def uv_to_dir(uv):
+    phi = uv[..., 0] * mu.M_2PI - mu.M_PI
+    theta = uv[..., 1] * mu.M_PI
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.cos(phi), jnp.cos(theta),
+                      st * jnp.sin(phi)], axis=-1)
+
+
+def _row_solid_angles(h: int, w: int) -> np.ndarray:
+    """Exact per-texel solid angle for each row: (2pi/W)(cos t0 - cos t1)."""
+    theta = np.linspace(0.0, math.pi, h + 1)
+    return ((2.0 * math.pi / w)
+            * (np.cos(theta[:-1]) - np.cos(theta[1:]))).astype(np.float32)
+
+
+def make_envmap(radiance, intensity: float = 1.0,
+                enabled: bool = True) -> EnvMap:
+    """Build the importance pyramid (EnvMapImportanceSamplingBaker's
+    BuildMIPDescentImportanceMapCS equivalent)."""
+    radiance = jnp.asarray(radiance, jnp.float32)
+    h, w = radiance.shape[0], radiance.shape[1]
+    assert w == 2 * h and (h & (h - 1)) == 0, "equirect must be (H, 2H), H=2^k"
+    omega = jnp.asarray(_row_solid_angles(h, w))
+    base = mu.luminance(radiance) * omega[:, None]          # (H, W)
+    mips = [base]
+    m = base
+    while m.shape[0] > 1:
+        m = (m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2] + m[1::2, 1::2])
+        mips.append(m)
+    mips = tuple(mips[::-1])                                # coarsest first
+    total = jnp.maximum(jnp.sum(mips[0]), 1e-20)
+    return EnvMap(radiance=radiance, mips=mips, total=total,
+                  omega_rows=omega,
+                  intensity=jnp.asarray(intensity, jnp.float32),
+                  enabled=jnp.asarray(enabled))
+
+
+def eval_dir(env: EnvMap, d):
+    """EnvMap::Eval (Distant.hlsli:22-60): radiance along direction."""
+    uv = dir_to_uv(d)
+    h, w = env.height, env.width
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    out = env.radiance[y, x] * env.intensity
+    return jnp.where(env.enabled, out, 0.0)
+
+
+def sample_uniform(env: EnvMap, u2):
+    """EnvMapSampler::UniformSample (Distant.hlsli:125-138)."""
+    d = mu.sample_sphere_uniform(u2)
+    pdf = jnp.full(u2.shape[:-1], 1.0 / (4.0 * mu.M_PI), jnp.float32)
+    return d, pdf, eval_dir(env, d)
+
+
+def pdf_uniform(env: EnvMap, d):
+    return jnp.full(d.shape[:-1], 1.0 / (4.0 * mu.M_PI), jnp.float32)
+
+
+def sample_mip_descent(env: EnvMap, u2):
+    """EnvMapSampler::MIPDescentSample (Distant.hlsli:140-235): hierarchical
+    warp down the luminance pyramid; exact pdf; preserves stratification of
+    the low-discrepancy input sample."""
+    shape = u2.shape[:-1]
+    iy = jnp.zeros(shape, jnp.int32)
+    ix = jnp.zeros(shape, jnp.int32)
+    ux = u2[..., 0]
+    uy = u2[..., 1]
+    # level 0 is (1,2): pick the hemisphere column first
+    w0 = env.mips[0]
+    p_left = w0[0, 0] / jnp.maximum(w0[0, 0] + w0[0, 1], 1e-20)
+    go_right = ux >= p_left
+    ix = ix + go_right.astype(jnp.int32)
+    ux = jnp.where(go_right, (ux - p_left) / jnp.maximum(1.0 - p_left, 1e-9),
+                   ux / jnp.maximum(p_left, 1e-9))
+
+    for lvl in range(1, len(env.mips)):
+        m = env.mips[lvl]
+        cy, cx = iy * 2, ix * 2
+        w00 = m[cy, cx]
+        w01 = m[cy, cx + 1]
+        w10 = m[cy + 1, cx]
+        w11 = m[cy + 1, cx + 1]
+        left = w00 + w10
+        right = w01 + w11
+        p_l = left / jnp.maximum(left + right, 1e-20)
+        go_r = ux >= p_l
+        ux = jnp.where(go_r, (ux - p_l) / jnp.maximum(1.0 - p_l, 1e-9),
+                       ux / jnp.maximum(p_l, 1e-9))
+        top = jnp.where(go_r, w01, w00)
+        bot = jnp.where(go_r, w11, w10)
+        p_t = top / jnp.maximum(top + bot, 1e-20)
+        go_b = uy >= p_t
+        uy = jnp.where(go_b, (uy - p_t) / jnp.maximum(1.0 - p_t, 1e-9),
+                       uy / jnp.maximum(p_t, 1e-9))
+        ix = cx + go_r.astype(jnp.int32)
+        iy = cy + go_b.astype(jnp.int32)
+
+    h, w = env.height, env.width
+    # jitter within the texel using the residual sample
+    uv = jnp.stack([(ix + jnp.clip(ux, 0.0, 0.9999)) / w,
+                    (iy + jnp.clip(uy, 0.0, 0.9999)) / h], axis=-1)
+    d = uv_to_dir(uv)
+    w_base = env.mips[-1][iy, ix]
+    pdf = w_base / (env.total * jnp.maximum(env.omega_rows[iy], 1e-20))
+    le = env.radiance[iy, ix] * env.intensity
+    le = jnp.where(env.enabled, le, 0.0)
+    return d, pdf, le
+
+
+def pdf_mip_descent(env: EnvMap, d):
+    """EnvMapSampler::MIPDescentEvalPdf (Distant.hlsli:180-210)."""
+    uv = dir_to_uv(d)
+    h, w = env.height, env.width
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return env.mips[-1][y, x] / (env.total *
+                                 jnp.maximum(env.omega_rows[y], 1e-20))
+
+
+class PresampledEnv(NamedTuple):
+    """Pre-sampled light list (EnvMapImportanceSamplingBaker presampling;
+    Config.h:86 ENVMAP_PRESAMPLED_COUNT 2048). Regenerated per frame from
+    the LD sequence; PreSampledSample picks a random entry."""
+    dirs: jnp.ndarray   # (K,3)
+    le: jnp.ndarray     # (K,3)
+    pdf: jnp.ndarray    # (K,)
+
+
+def presample(env: EnvMap, sample_index, count: int = 2048) -> PresampledEnv:
+    from ..core import rng
+    idx = jnp.arange(count, dtype=jnp.uint32)
+    g = rng.make(idx, jnp.uint32(0x9) + idx * 0, jnp.uint32(0),
+                 jnp.asarray(sample_index, jnp.uint32))
+    g, u2 = rng.next_2d(g)
+    d, pdf, le = sample_mip_descent(env, u2)
+    return PresampledEnv(d, le, pdf)
+
+
+def sample_presampled(env: EnvMap, pre: PresampledEnv, u1):
+    """EnvMapSampler::PreSampledSample (Distant.hlsli:237-253)."""
+    k = pre.dirs.shape[0]
+    i = jnp.clip((u1 * k).astype(jnp.int32), 0, k - 1)
+    return pre.dirs[i], pre.pdf[i], pre.le[i]
+
+
+# ---------------------------------------------------------------------------
+# Procedural sky bake (EnvMapBaker::Update + SampleProceduralSky.hlsli
+# stand-in: simple analytic gradient sky + sun disc + optional directional
+# lights splatted in, like the reference bakes LightConstants into the map)
+# ---------------------------------------------------------------------------
+
+def bake_procedural_sky(height: int = 128,
+                        sun_dir=(0.35, 0.65, 0.2),
+                        sun_radiance=(600.0, 560.0, 480.0),
+                        sun_angular_radius: float = 0.028,
+                        zenith=(0.25, 0.45, 0.85),
+                        horizon=(0.65, 0.75, 0.9),
+                        ground=(0.22, 0.2, 0.18),
+                        sky_scale: float = 1.0):
+    w = 2 * height
+    v, u = jnp.meshgrid((jnp.arange(height) + 0.5) / height,
+                        (jnp.arange(w) + 0.5) / w, indexing="ij")
+    d = uv_to_dir(jnp.stack([u, v], axis=-1))
+    y = d[..., 1]
+    sky_t = jnp.clip(y, 0.0, 1.0) ** 0.65
+    sky = mu.lerp(jnp.asarray(horizon), jnp.asarray(zenith),
+                  sky_t[..., None])
+    gnd = jnp.asarray(ground) * (0.4 + 0.6 * jnp.clip(-y, 0.0, 1.0)
+                                 )[..., None]
+    col = jnp.where((y >= 0.0)[..., None], sky, gnd) * sky_scale
+    sd = jnp.asarray(sun_dir, jnp.float32)
+    sd = sd / jnp.linalg.norm(sd)
+    cos_sun = jnp.sum(d * sd, axis=-1)
+    in_sun = cos_sun > math.cos(sun_angular_radius)
+    col = jnp.where(in_sun[..., None], jnp.asarray(sun_radiance), col)
+    return col.astype(jnp.float32)

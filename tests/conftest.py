@@ -1,9 +1,19 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths compile and execute without TPU hardware."""
+multi-chip sharding paths compile and execute without TPU hardware.
+
+Note: the environment's sitecustomize pins jax_platforms to "axon,cpu"
+(the TPU tunnel), so JAX_PLATFORMS alone is not enough — we override the
+config explicitly before any backend is initialized."""
 import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, jax.devices()

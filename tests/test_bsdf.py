@@ -1,0 +1,161 @@
+"""BSDF correctness: energy conservation (white furnace), sample/pdf
+consistency, lobe selection — the statistical test tier SURVEY.md section 4
+calls for (the reference has an equivalent disabled pdf test at
+PathTracerNEE.hlsli:89-97)."""
+import numpy as np
+import jax.numpy as jnp
+
+from rtxpt_tpu.pt import bsdf as B
+
+
+def make_data(n, diffuse=(0.8, 0.8, 0.8), specular=(0.04, 0.04, 0.04),
+              roughness=0.5, metallic=0.0, eta=1.0 / 1.5, transmission=0.0,
+              diff_trans=0.0, spec_trans=0.0):
+    ones = np.ones((n,), np.float32)
+    c3 = lambda c: jnp.asarray(np.tile(np.asarray(c, np.float32), (n, 1)))
+    return B.BSDFData(
+        diffuse=c3(diffuse), specular=c3(specular),
+        roughness=jnp.asarray(roughness * ones),
+        metallic=jnp.asarray(metallic * ones),
+        eta=jnp.asarray(eta * ones),
+        transmission=c3((transmission,) * 3 if np.isscalar(transmission)
+                        else transmission),
+        diffuse_transmission=jnp.asarray(diff_trans * ones),
+        specular_transmission=jnp.asarray(spec_trans * ones))
+
+
+def fibonacci_sphere(n):
+    i = np.arange(n) + 0.5
+    phi = np.pi * (1 + 5 ** 0.5) * i
+    z = 1 - 2 * i / n
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z],
+                    -1).astype(np.float32)
+
+
+def test_diffuse_white_furnace():
+    """Integral of f*cos over the hemisphere ~ albedo for pure diffuse."""
+    nd = 4096
+    dirs = fibonacci_sphere(nd)
+    dirs = dirs[dirs[:, 2] > 1e-3]
+    n = dirs.shape[0]
+    data = make_data(n, diffuse=(1.0, 1.0, 1.0), roughness=1.0)
+    wi = jnp.asarray(np.tile([[0.3, 0.1, 0.946]], (n, 1)))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    b = B.make_bsdf(data, wi[:, 2], jnp.zeros(n, bool))
+    f = B.bsdf_eval(b, wi, jnp.asarray(dirs))  # already includes cos
+    integral = np.asarray(f).sum(0) * (4 * np.pi / nd)
+    # Frostbite diffuse at roughness 1 applies a 1/1.51 energy factor
+    # (BxDF.hlsli:203), so the furnace integral sits near 0.7, not 1.0.
+    assert (integral > 0.6).all() and (integral < 1.05).all(), integral
+
+
+def test_ggx_furnace_low_roughness():
+    """Perfect mirror-ish metal (albedo 1): reflected energy ~ 1."""
+    nd = 200_000
+    dirs = fibonacci_sphere(nd)
+    dirs = dirs[dirs[:, 2] > 1e-3]
+    n = dirs.shape[0]
+    data = make_data(n, diffuse=(0, 0, 0), specular=(1, 1, 1),
+                     roughness=0.3, metallic=1.0)
+    wi = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (n, 1)))
+    b = B.make_bsdf(data, wi[:, 2], jnp.zeros(n, bool))
+    f = B.bsdf_eval(b, wi, jnp.asarray(dirs))
+    integral = np.asarray(f).sum(0) * (4 * np.pi / nd)
+    # single-scatter GGX loses some energy to masking; bounded above by 1
+    assert (integral > 0.75).all() and (integral < 1.02).all(), integral
+
+
+def _sample_many(data_fn, n, seed=0):
+    rs = np.random.RandomState(seed)
+    u3 = jnp.asarray(rs.uniform(size=(n, 3)).astype(np.float32))
+    data = data_fn(n)
+    wi = jnp.asarray(np.tile([[0.4, -0.2, 0.8944]], (n, 1)))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    b = B.make_bsdf(data, wi[:, 2], jnp.zeros(n, bool))
+    s = B.bsdf_sample(b, wi, u3)
+    return b, wi, s
+
+
+def test_sample_estimator_unbiased_vs_quadrature():
+    """The mixture sampler is a per-lobe estimator (weight =
+    f_lobe/(p_lobe*pdf_lobe), BxDF.hlsli:808-863), so E[weight] must equal
+    the quadrature integral of f*cos over the sphere."""
+    n = 400_000
+    mk = lambda n: make_data(n, diffuse=(0.6, 0.5, 0.4),
+                             specular=(0.3, 0.3, 0.3), roughness=0.45,
+                             metallic=0.3)
+    b, wi, s = _sample_many(mk, n)
+    w = np.where(np.asarray(s.valid)[:, None], np.asarray(s.weight), 0.0)
+    mc = w.mean(0)
+
+    nd = 200_000
+    dirs = fibonacci_sphere(nd)
+    m = dirs[np.abs(dirs[:, 2]) > 1e-3]
+    data = mk(m.shape[0])
+    wi_q = np.tile(np.asarray(wi[:1]), (m.shape[0], 1))
+    bq = B.make_bsdf(data, jnp.asarray(wi_q[:, 2]),
+                     jnp.zeros(m.shape[0], bool))
+    f = np.asarray(B.bsdf_eval(bq, jnp.asarray(wi_q), jnp.asarray(m)))
+    quad = f.sum(0) * (4 * np.pi / nd)
+    np.testing.assert_allclose(mc, quad, rtol=0.04, atol=5e-3)
+
+
+def test_sample_pdf_matches_evalpdf():
+    """pdf returned by sample() must equal evalPdf(wi, wo)."""
+    b, wi, s = _sample_many(lambda n: make_data(n, roughness=0.6,
+                                                metallic=0.5), 4096, seed=1)
+    valid = np.asarray(s.valid) & (np.asarray(s.pdf) > 0)
+    pdf_eval = np.asarray(B.bsdf_eval_pdf(b, wi, s.wo))
+    np.testing.assert_allclose(np.asarray(s.pdf)[valid], pdf_eval[valid],
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_sampling_estimates_furnace():
+    """Monte-Carlo white furnace: E[weight] ~ hemispherical albedo."""
+    n = 200_000
+    b, wi, s = _sample_many(lambda n: make_data(
+        n, diffuse=(0.5, 0.5, 0.5), specular=(0.04,) * 3, roughness=0.5),
+        n, seed=2)
+    w = np.where(np.asarray(s.valid)[:, None], np.asarray(s.weight), 0.0)
+    est = w.mean(0)
+    # estimate of integral f*cos; diffuse 0.5 + specular few %
+    assert (est > 0.4).all() and (est < 0.65).all(), est
+
+
+def test_delta_glass_energy_split():
+    """Smooth glass: delta reflection + transmission weights sum to ~1 and
+    fresnel split matches the analytic value."""
+    n = 100_000
+    b, wi, s = _sample_many(lambda n: make_data(
+        n, diffuse=(0, 0, 0), specular=(0.04,) * 3, roughness=0.0,
+        transmission=1.0, spec_trans=1.0, eta=1.0 / 1.5), n, seed=3)
+    lobe = np.asarray(s.lobe)
+    valid = np.asarray(s.valid)
+    assert valid.mean() > 0.99
+    is_dr = (lobe == B.LOBE_DELTA_REFLECTION) & valid
+    is_dt = (lobe == B.LOBE_DELTA_TRANSMISSION) & valid
+    assert is_dr.any() and is_dt.any()
+    f, _ = B.fresnel_dielectric(b.eta[:1], wi[:1, 2])
+    f = float(f[0])
+    assert abs(is_dr.mean() - f) < 0.01
+    # pdf must be zero for delta lobes
+    assert (np.asarray(s.pdf)[is_dr | is_dt] == 0).all()
+    # energy: weight ~ 1 for both (T weight = trans albedo = 1)
+    w = np.asarray(s.weight)
+    np.testing.assert_allclose(w[is_dr | is_dt].mean(0), 1.0, atol=0.02)
+
+
+def test_rough_glass_transmits():
+    n = 50_000
+    b, wi, s = _sample_many(lambda n: make_data(
+        n, diffuse=(0, 0, 0), roughness=0.3, transmission=1.0,
+        spec_trans=1.0, eta=1.0 / 1.5), n, seed=4)
+    lobe = np.asarray(s.lobe)
+    valid = np.asarray(s.valid)
+    frac_t = ((lobe == B.LOBE_SPECULAR_TRANSMISSION) & valid).mean()
+    assert frac_t > 0.5  # at this angle most energy refracts
+    # transmitted directions are below the surface
+    below = np.asarray(s.wo)[:, 2] < 0
+    np.testing.assert_array_equal(
+        below[valid], (lobe == B.LOBE_SPECULAR_TRANSMISSION)[valid])
