@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-WIDTH, HEIGHT = 320, 240
+WIDTH, HEIGHT = 800, 600
 WARMUP = 1
 ITERS = 2
 TARGET_PATHS_PER_SEC = 1920 * 1080 * 30  # 62.2M (config 5 goal)
@@ -29,7 +29,7 @@ def main():
     from rtxpt_tpu.scene import envmap as EM
     from rtxpt_tpu.scene import procedural
 
-    cfg = reference_config(max_bounces=4, max_diffuse_bounces=3,
+    cfg = reference_config(max_bounces=6, max_diffuse_bounces=4,
                            nee_distant_samples=1, nee_local_samples=1)
     host = procedural.build_programmer_art().finish()
     cam = procedural.default_camera(WIDTH, HEIGHT)
@@ -47,8 +47,8 @@ def main():
 
     paths_per_sec = WIDTH * HEIGHT / dt
     print(json.dumps({
-        "metric": "reference-mode path throughput (320x240, full BSDF, "
-                  "NEE 1+1, 4 bounces, programmer-art)",
+        "metric": "reference-mode path throughput (800x600, full BSDF, "
+                  "NEE 1+1, 6 bounces, programmer-art)",
         "value": round(paths_per_sec / 1e6, 4),
         "unit": "Mpaths/s",
         "vs_baseline": round(paths_per_sec / TARGET_PATHS_PER_SEC, 5),

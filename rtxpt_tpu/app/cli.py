@@ -64,6 +64,51 @@ def load_scene(args):
     raise SystemExit(f"unknown scene: {args.scene}")
 
 
+def _run_realtime(args, host, cam, env, frames: int) -> int:
+    """Real-time mode: run `frames` frames of the 1spp + ReSTIR DI +
+    denoise + TAA pipeline, save the last frame (the reference's
+    --screenshotFrameIndex contract with denoiser warm-up)."""
+    import numpy as np
+    import jax
+    from ..models.realtime import RealtimeRenderer
+    from ..models.renderer import realtime_config
+    from ..post.tonemap import tonemap
+    from ..utils import image as IM
+
+    cfg = realtime_config(use_restir_di=True, denoiser_enabled=True,
+                          max_bounces=args.max_bounces,
+                          max_diffuse_bounces=args.max_diffuse_bounces
+                          or 3,
+                          nee_distant_samples=1, nee_local_samples=1)
+    r = RealtimeRenderer(host, cam, cfg, env_radiance=env)
+    t0 = time.time()
+    times = [t0]
+    img = None
+    for i in range(max(frames, 1)):
+        img = r.render_frame(args.width, args.height)
+        jax.block_until_ready(img)
+        times.append(time.time())
+        if not args.quiet and (i % max(1, frames // 8) == 0
+                               or i == frames - 1):
+            print(f"  frame {i + 1}/{frames} "
+                  f"({(times[-1] - times[-2]) * 1000:.0f} ms)", flush=True)
+    hdr = np.asarray(img)
+    steady = (times[-1] - times[1]) / max(len(times) - 2, 1) if \
+        len(times) > 2 else times[-1] - t0
+    if not args.quiet:
+        print(f"realtime {args.width}x{args.height}: steady "
+              f"{steady * 1000:.0f} ms/frame ({1.0 / max(steady, 1e-9):.1f}"
+              f" fps)")
+    srgb = np.asarray(tonemap(img, exposure=args.exposure,
+                              auto_expose=not args.no_auto_expose))
+    IM.save_png(args.output, srgb)
+    if args.dump_npy:
+        IM.save_npy(args.dump_npy, hdr)
+    if not args.quiet:
+        print(f"wrote {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     from ..models.renderer import Renderer, reference_config, \
@@ -85,12 +130,25 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, max_diffuse_bounces=args.max_diffuse_bounces)
 
-    env = EM.bake_procedural_sky(sky_scale=args.sky_scale)
-    r = Renderer(host, cam, cfg, env_radiance=env)
+    extra = extra or {}
+    if extra.get("settings"):
+        from ..config import apply_scene_settings
+        cfg = apply_scene_settings(cfg, extra["settings"])
+    env = extra.get("env_radiance")
+    if env is None:
+        env = EM.bake_procedural_sky(sky_scale=args.sky_scale)
+    analytic = extra.get("analytic_lights")
 
     spp = args.spp
     if args.screenshot_frame_index is not None:
         spp = args.screenshot_frame_index
+
+    if args.mode == "realtime":
+        return _run_realtime(args, host, cam, env, spp)
+
+    r = Renderer(host, cam, cfg, env_radiance=env,
+                 analytic_lights=analytic,
+                 env_intensity=extra.get("env_intensity", 1.0))
 
     t0 = time.time()
     times = []

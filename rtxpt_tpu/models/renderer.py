@@ -62,11 +62,15 @@ class Renderer:
         self.cfg = cfg or reference_config()
         self.camera = camera
         self.scene = to_device(host_scene)
-        self.bvh = bvh_mod.build_bvh(host_scene["positions"],
-                                     host_scene["indices"],
-                                     leaf_size=self.cfg.leaf_size)
+        self.bvh2 = bvh_mod.build_bvh(host_scene["positions"],
+                                      host_scene["indices"],
+                                      leaf_size=self.cfg.leaf_size)
         self.soup = TriSoup.build(self.scene.positions, self.scene.indices,
-                                  self.bvh.order)
+                                  self.bvh2.order)
+        # unified 8-wide layout: Pallas MXU-gather traversal on TPU,
+        # one-gather-per-step XLA loop elsewhere
+        self.bvh = bvh_mod.collapse_bvh8(self.bvh2, self.scene.positions,
+                                         self.scene.indices)
         if env_radiance is None:
             env_radiance = EM.bake_procedural_sky()
         self.env = EM.make_envmap(env_radiance, intensity=env_intensity,

@@ -141,6 +141,202 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray,
     )
 
 
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+class BVH8:
+    """8-wide BVH in a UNIFIED one-row-per-gather layout (the SER/RT-core
+    replacement tuned for the TPU memory system).
+
+    Node rows pack 8 child AABBs + 8 child codes (stored as exact float
+    VALUES, since MXU gathers flush denormal bit patterns); leaf rows
+    inline up to `leaf_size` triangles as (p0, e1, e2) so leaf intersection
+    is wide vector math with no extra fetch. Rows are
+    `width = max(56, 9*leaf_size)` floats. The whole traversal step costs
+    ONE row fetch (XLA gather on CPU, MXU one-hot matmul in the Pallas
+    kernel, ops/traverse_pallas.py).
+
+    Child code encoding: >= 0 -> node row index; < 0 -> leaf with
+    row = (-code-1) >> 5 and count = (-code-1) & 31; -1 = empty slot.
+    leaf_size/num_nodes are static pytree aux data (jit-specializing)."""
+
+    def __init__(self, table, leaf_tris, leaf_size: int, num_nodes: int):
+        self.table = table          # (R, W) f32 unified node/leaf rows
+        self.leaf_tris = leaf_tris  # (R*leaf_size,) i32 original tri ids
+        self.leaf_size = leaf_size
+        self.num_nodes = num_nodes
+
+    @property
+    def num_rows(self) -> int:
+        return self.table.shape[0]
+
+    def tree_flatten(self):
+        return (self.table, self.leaf_tris), (self.leaf_size,
+                                              self.num_nodes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def collapse_bvh8(bvh: BVH2, positions, indices,
+                  leaf_collapse: int = 16) -> BVH8:
+    """Collapse a BVH2 into the unified 8-wide layout (host side).
+
+    Subtrees with <= leaf_collapse triangles become single leaves spanning
+    their (contiguous) triangle range; otherwise the 8 child slots are
+    filled by repeatedly splitting the largest-count internal slot."""
+    cb2 = np.asarray(bvh.child_bounds)
+    ci2 = np.asarray(bvh.child_idx)
+    n2 = cb2.shape[0]
+    assert leaf_collapse <= LEAF_MAX
+
+    # per-BVH2-node triangle range [start, end) and bounds
+    start = np.zeros(n2, np.int64)
+    end = np.zeros(n2, np.int64)
+
+    def code_range(code, node_ranges):
+        if code < 0:
+            s, c = decode_leaf(code)
+            return s, s + c
+        return node_ranges[code]
+
+    # compute ranges bottom-up over levels (deepest first)
+    node_ranges = {}
+    for level in bvh.levels[::-1]:
+        for nid in level:
+            l, r = ci2[nid]
+            ls, le = code_range(l, node_ranges)
+            rs, re = code_range(r, node_ranges)
+            lo = min(ls, rs)
+            hi = max(le, re)
+            node_ranges[nid] = (lo, hi)
+            start[nid], end[nid] = lo, hi
+
+    def node_bounds(code, parent_slot_bounds):
+        return parent_slot_bounds  # bounds always come from the parent slot
+
+    out_bounds: list = []
+    out_idx: list = []
+
+    def subtree_count(code):
+        if code < 0:
+            _, c = decode_leaf(code)
+            return c
+        return end[code] - start[code]
+
+    def build8(code, bounds) -> int:
+        """Returns BVH8 child code for a BVH2 subtree (code) with known
+        bounds; appends nodes to out_*."""
+        cnt = subtree_count(code)
+        if code < 0:
+            return int(code)
+        if cnt <= leaf_collapse:
+            return encode_leaf(int(start[code]), int(cnt))
+        # fill up to 8 slots
+        slots = [(int(code), bounds)]
+        while len(slots) < 8:
+            # split the internal slot with the largest triangle count
+            best = -1
+            best_cnt = leaf_collapse
+            for i, (c, _) in enumerate(slots):
+                if c >= 0 and subtree_count(c) > best_cnt:
+                    cc = subtree_count(c)
+                    if best < 0 or cc > subtree_count(slots[best][0]):
+                        best = i
+            if best < 0:
+                break
+            c, _ = slots.pop(best)
+            lb = cb2[c, 0:6]
+            rb = cb2[c, 6:12]
+            slots.append((int(ci2[c, 0]), lb))
+            slots.append((int(ci2[c, 1]), rb))
+        node_id = len(out_bounds)
+        out_bounds.append(np.zeros(48, np.float32))
+        out_idx.append(np.full(8, EMPTY_LEAF, np.int32))
+        for i, (c, b) in enumerate(slots):
+            out_bounds[node_id][i * 6:(i + 1) * 6] = b
+            out_idx[node_id][i] = build8(c, b)
+        # empty slots get inverted bounds so the slab test always misses
+        for i in range(len(slots), 8):
+            out_bounds[node_id][i * 6:i * 6 + 3] = 1e30
+            out_bounds[node_id][i * 6 + 3:i * 6 + 6] = -1e30
+        return node_id
+
+    root_bounds = np.concatenate([
+        np.minimum(cb2[0, 0:3], cb2[0, 6:9]),
+        np.maximum(cb2[0, 3:6], cb2[0, 9:12])])
+    import sys
+    sys.setrecursionlimit(100000)
+    # root: always emit a node (build8 may return a leaf code for tiny
+    # scenes -> wrap it)
+    root = build8(0, root_bounds)
+    if root != 0 or not out_bounds:
+        node = np.zeros(48, np.float32)
+        node[0:6] = root_bounds
+        for i in range(1, 8):
+            node[i * 6:i * 6 + 3] = 1e30
+            node[i * 6 + 3:i * 6 + 6] = -1e30
+        idx = np.full(8, EMPTY_LEAF, np.int32)
+        idx[0] = root
+        out_bounds.insert(0, node)
+        out_idx.insert(0, idx)
+        # shift internal references by 1
+        for k in range(len(out_idx)):
+            row = out_idx[k]
+            row[row >= 0] += 1
+            out_idx[k] = row
+
+    # ---- pack the unified table ------------------------------------------
+    n_nodes = len(out_bounds)
+    idx_mat = np.stack(out_idx)                      # (n_nodes, 8)
+    # collect distinct leaf (start, count) codes
+    leaf_codes = sorted({int(c) for c in idx_mat.reshape(-1)
+                         if c < 0 and c != EMPTY_LEAF})
+    leaf_row_of = {c: n_nodes + i for i, c in enumerate(leaf_codes)}
+    n_leaves = len(leaf_codes)
+
+    width = max(56, 9 * leaf_collapse)
+    table = np.zeros((n_nodes + n_leaves, width), np.float32)
+    leaf_tris = np.full((n_nodes + n_leaves, leaf_collapse), -1, np.int32)
+
+    order = np.asarray(bvh.order)
+    positions = np.asarray(positions)
+    indices = np.asarray(indices)
+
+    def remap(code):
+        if code >= 0:
+            return code
+        if code == EMPTY_LEAF:
+            return EMPTY_LEAF
+        s, c = decode_leaf(int(code))
+        row = leaf_row_of[int(code)]
+        return encode_leaf(row, c)
+
+    for i in range(n_nodes):
+        table[i, 0:48] = out_bounds[i]
+        codes = np.asarray([remap(c) for c in idx_mat[i]], np.int32)
+        # codes stored as exact float VALUES (not bit patterns): the MXU
+        # one-hot gather flushes denormal f32 bit patterns to zero
+        table[i, 48:56] = codes.astype(np.float32)
+
+    for code, row in leaf_row_of.items():
+        s, c = decode_leaf(code)
+        tri_ids = order[s:s + c]                      # original tri indices
+        leaf_tris[row, :c] = tri_ids
+        p = positions[indices[tri_ids]]               # (c,3,3)
+        p0 = p[:, 0]
+        e1 = p[:, 1] - p0
+        e2 = p[:, 2] - p0
+        table[row, :c * 9] = np.concatenate([p0, e1, e2],
+                                            axis=1).reshape(-1)
+
+    return BVH8(table=jnp.asarray(table),
+                leaf_tris=jnp.asarray(leaf_tris.reshape(-1)),
+                leaf_size=leaf_collapse, num_nodes=n_nodes)
+
+
 def refit(bvh: BVH2, positions: jnp.ndarray, indices: jnp.ndarray) -> BVH2:
     """Bottom-up AABB refit after vertex animation (topology unchanged).
     Level-sweep: deepest level first, all nodes in a level in parallel

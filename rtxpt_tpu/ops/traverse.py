@@ -27,6 +27,21 @@ from .intersect import Hit, TriSoup, _moller_trumbore, ray_aabb
 STACK_DEPTH = 64
 MAX_ITERS = 500_000
 
+_use_pallas_cache = None
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels need a real TPU backend; CPU tests use the XLA
+    path. Override with RTXPT_FORCE_XLA_TRAVERSAL=1."""
+    global _use_pallas_cache
+    if _use_pallas_cache is None:
+        import os
+        import jax as _jax
+        _use_pallas_cache = (
+            os.environ.get("RTXPT_FORCE_XLA_TRAVERSAL", "0") != "1"
+            and _jax.devices()[0].platform != "cpu")
+    return _use_pallas_cache
+
 
 class _TraceState(NamedTuple):
     stack: jnp.ndarray     # (N, STACK_DEPTH) i32
@@ -121,7 +136,112 @@ def _trace(child_bounds, child_idx, verts, origins, dirs, t_min, t_max,
                            st.iters + 1)
 
     st = jax.lax.while_loop(cond, body, init)
-    return st.best_t, st.best_prim, st.best_uv
+    return st.best_t, st.best_prim, st.best_uv, st.iters
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
+def _trace8(table, origins, dirs, t_min, t_max,
+            active, leaf_size: int = 16, any_hit: bool = False):
+    """Unified 8-wide traversal: exactly ONE table gather per iteration
+    (the dominant cost on the target TPU is per-gather-op, ~independent of
+    row width). A popped row is either a node (8 child AABBs + codes) or a
+    leaf (<= leaf_size inlined triangles tested as one wide vector op).
+    best_prim returns the leaf SLOT code (row*leaf_size + k); callers remap
+    to original triangle ids via BVH8.leaf_tris."""
+    n = origins.shape[0]
+    inv_d = _safe_inv(dirs)
+    lanes = jnp.arange(n)
+
+    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)  # root node = 0
+    sp = jnp.where(active, 1, 0).astype(jnp.int32)
+
+    init = _TraceState(
+        stack=stack, sp=sp,
+        best_t=jnp.broadcast_to(t_max, (n,)).astype(jnp.float32),
+        best_prim=jnp.full((n,), -1, jnp.int32),
+        best_uv=jnp.zeros((n, 2), jnp.float32),
+        iters=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(st: _TraceState):
+        return jnp.any(st.sp > 0) & (st.iters < MAX_ITERS)
+
+    def body(st: _TraceState):
+        has = st.sp > 0
+        top_i = jnp.maximum(st.sp - 1, 0)
+        top = st.stack[lanes, top_i]
+        sp = jnp.where(has, st.sp - 1, st.sp)
+        is_leaf = top < 0
+        do_node = has & ~is_leaf
+        do_leaf = has & is_leaf
+
+        v = -jnp.where(do_leaf, top, -1) - 1
+        leaf_row = v >> 5
+        lcount = v & LEAF_MAX
+        fetch = jnp.where(do_leaf, leaf_row, jnp.where(do_node, top, 0))
+        row = table[fetch]                          # THE gather (N, W)
+
+        # ---- node interpretation: 8 AABBs + codes
+        cb = row[:, :48].reshape(n, 8, 6)
+        ci = row[:, 48:56].astype(jnp.int32)  # codes are exact float values
+        hit8, t8 = ray_aabb(origins[:, None, :], inv_d[:, None, :],
+                            cb[..., 0:3], cb[..., 3:6], t_min,
+                            st.best_t[:, None])
+        hit8 = hit8 & (ci != -1) & do_node[:, None]
+        # order children far-to-near with a branch-free 19-comparator
+        # sorting network (descending t; misses sink as -inf), then push
+        # all eight with ONE scatter via exclusive-cumsum slots.
+        ts = jnp.where(hit8, t8, -jnp.inf)
+        cs = ci
+        for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                     (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                     (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                     (3, 4)):
+            swap = ts[:, a] < ts[:, b]
+            ta = jnp.where(swap, ts[:, b], ts[:, a])
+            tb = jnp.where(swap, ts[:, a], ts[:, b])
+            ca = jnp.where(swap, cs[:, b], cs[:, a])
+            cb2_ = jnp.where(swap, cs[:, a], cs[:, b])
+            ts = ts.at[:, a].set(ta).at[:, b].set(tb)
+            cs = cs.at[:, a].set(ca).at[:, b].set(cb2_)
+        valid8 = ts > -jnp.inf
+        offs = jnp.cumsum(valid8.astype(jnp.int32), axis=-1) - \
+            valid8.astype(jnp.int32)
+        # invalid entries target an out-of-bounds slot and are dropped
+        slots = jnp.where(valid8,
+                          jnp.minimum(sp[:, None] + offs, STACK_DEPTH - 1),
+                          STACK_DEPTH)
+        stack = st.stack.at[lanes[:, None], slots].set(cs, mode="drop")
+        sp = sp + jnp.sum(valid8, axis=-1).astype(jnp.int32)
+
+        # ---- leaf interpretation: wide vector Moller-Trumbore over all
+        # inlined triangles at once (no extra gather)
+        tris = row[:, :9 * leaf_size].reshape(n, leaf_size, 9)
+        h, t, u, vv = _moller_trumbore(origins[:, None, :],
+                                       dirs[:, None, :], tris, t_min,
+                                       st.best_t[:, None])
+        kmask = jnp.arange(leaf_size)[None, :] < lcount[:, None]
+        h = h & kmask & do_leaf[:, None]
+        t = jnp.where(h, t, jnp.inf)
+        k = jnp.argmin(t, axis=-1)
+        tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
+        found = jnp.isfinite(tk)
+        uk = jnp.take_along_axis(jnp.where(h, u, 0.0), k[:, None], -1)[:, 0]
+        vk = jnp.take_along_axis(jnp.where(h, vv, 0.0), k[:, None],
+                                 -1)[:, 0]
+        best_prim = jnp.where(found, leaf_row * leaf_size + k,
+                              st.best_prim)
+        best_uv = jnp.where(found[:, None], jnp.stack([uk, vk], -1),
+                            st.best_uv)
+        best_t = jnp.where(found, tk, st.best_t)
+        if any_hit:
+            sp = jnp.where(best_prim >= 0, 0, sp)
+
+        return _TraceState(stack, sp, best_t, best_prim, best_uv,
+                           st.iters + 1)
+
+    st = jax.lax.while_loop(cond, body, init)
+    return st.best_t, st.best_prim, st.best_uv, st.iters
 
 
 def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
@@ -132,9 +252,21 @@ def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t, prim, uv = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
-                         origins, dirs, jnp.asarray(t_min, jnp.float32),
-                         t_max, active, leaf_size=leaf_size, any_hit=False)
+    if hasattr(bvh, "table"):  # unified BVH8
+        if _use_pallas():
+            from . import traverse_pallas as TP
+            return TP.trace_closest(bvh, origins, dirs, t_min, t_max,
+                                    active)
+        t, prim, uv, _ = _trace8(bvh.table, origins, dirs,
+                                 jnp.asarray(t_min, jnp.float32), t_max,
+                                 active, leaf_size=bvh.leaf_size,
+                                 any_hit=False)
+        orig = jnp.where(prim >= 0, bvh.leaf_tris[jnp.maximum(prim, 0)], -1)
+        return Hit(t, orig, uv)
+    t, prim, uv, _ = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
+                            origins, dirs, jnp.asarray(t_min, jnp.float32),
+                            t_max, active, leaf_size=leaf_size,
+                            any_hit=False)
     orig = jnp.where(prim >= 0, soup.prim_id[jnp.maximum(prim, 0)], -1)
     return Hit(t, orig, uv)
 
@@ -147,7 +279,18 @@ def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    _, prim, _ = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
-                        origins, dirs, jnp.asarray(t_min, jnp.float32),
-                        t_max, active, leaf_size=leaf_size, any_hit=True)
+    if hasattr(bvh, "table"):  # unified BVH8
+        if _use_pallas():
+            from . import traverse_pallas as TP
+            return TP.trace_anyhit(bvh, origins, dirs, t_min, t_max,
+                                   active)
+        _, prim, _, _ = _trace8(bvh.table, origins, dirs,
+                                jnp.asarray(t_min, jnp.float32), t_max,
+                                active, leaf_size=bvh.leaf_size,
+                                any_hit=True)
+        return prim >= 0
+    _, prim, _, _ = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
+                           origins, dirs, jnp.asarray(t_min, jnp.float32),
+                           t_max, active, leaf_size=leaf_size,
+                           any_hit=True)
     return prim >= 0

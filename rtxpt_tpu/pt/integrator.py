@@ -142,7 +142,18 @@ def render_wavefront(assets: RenderAssets, cam: CameraData, px, py,
 
     The reference's per-thread `while(path.isActive())` becomes a
     while_loop over whole-wavefront segment iterations."""
-    n = px.shape[0]
+    path0 = init_paths(cam, px, py, cfg, consts, sub_sample_index)
+    return render_paths(assets, cam, path0, consts, cfg=cfg,
+                        sub_sample_index=sub_sample_index)
+
+
+def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
+                 consts: PTConstants, *, cfg: PTConfig,
+                 sub_sample_index=0):
+    """Run the bounce loop from an arbitrary initial PathState (used by
+    the realtime FILL pass to continue paths from the primary surface,
+    PathTracerStablePlanes firstHitFromBasePlane semantics)."""
+    n = path0.px.shape[0]
     mat_iors = assets.scene.materials.ior
     vol_abs = assets.scene.materials.volume_absorption
     nee_local = cfg.nee_local_samples if assets.lights is not None else 0
@@ -406,7 +417,6 @@ def render_wavefront(assets: RenderAssets, cam: CameraData, px, py,
         path, it = carry
         return jnp.any(path.active) & (it < max_iters)
 
-    path0 = init_paths(cam, px, py, cfg, consts, sub_sample_index)
     path, _ = jax.lax.while_loop(cond, body, (path0, jnp.asarray(0,
                                                                  jnp.int32)))
     return path.radiance

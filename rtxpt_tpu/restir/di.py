@@ -1,0 +1,256 @@
+"""ReSTIR DI: per-pixel light reservoir pipeline.
+
+TPU-native re-design of the RtxdiPass frame sequence
+(RTXPT/RTXDI/RtxdiPass.cpp:268-395: presample -> initial candidates ->
+temporal resampling -> spatial resampling -> final shading; shaders
+GenerateInitialSamples.hlsl / TemporalResampling.hlsl /
+SpatialResampling.hlsl / DIFinalShading.hlsl).
+
+Each stage is a fused jnp pass over the (H*W,) pixel wavefront; neighbor
+taps are 2D gathers on the reshaped (H,W) reservoir arrays. Temporal
+reuse reprojects with the G-buffer motion vectors and validates geometry
+(depth + normal tests) like RTXDI's boiling-filter-free default.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import mathutils as mu
+from ..core import rng
+from ..ops import traverse
+from ..scene import envmap as EM
+from ..scene import lights as LI
+from ..pt import bsdf as B
+from ..pt import shading
+from ..pt.gbuffer import GBuffer
+from .reservoir import LIGHT_ENV, LIGHT_INVALID, Reservoir, merge, update
+
+# effect-seed ids for the ReSTIR stages (decorrelated via Hash32Combine)
+EFFECT_RESTIR_INITIAL = 16
+EFFECT_RESTIR_TEMPORAL = 17
+EFFECT_RESTIR_SPATIAL = 18
+
+TEMPORAL_M_CLAMP = 20.0   # RTXDI default temporal history clamp
+
+
+def _surface_bsdf(gb: GBuffer):
+    return shading.make_wavefront_bsdf(gb.surface)
+
+
+def eval_target(assets, gb: GBuffer, light, uv):
+    """Unshadowed target p_hat = luminance(f * Li * G) for a reservoir
+    sample at the pixel surface; also returns shading terms for reuse.
+    light/uv: reservoir encoding (see reservoir.py)."""
+    sd = gb.surface.sd
+    lt = assets.lights
+
+    is_env = light == LIGHT_ENV
+    is_local = light >= 0
+
+    # --- local (triangle/point/dir) light sample at fixed uv
+    if lt is not None:
+        li_idx = jnp.maximum(light, 0)
+        tri = assets.scene.indices[jnp.maximum(lt.tri[li_idx], 0)]
+        p0 = assets.scene.positions[tri[..., 0]]
+        p1 = assets.scene.positions[tri[..., 1]]
+        p2 = assets.scene.positions[tri[..., 2]]
+        bary = mu.sample_triangle_uniform(uv)
+        lp = (bary[..., 0:1] * p0 + bary[..., 1:2] * p1
+              + bary[..., 2:3] * p2)
+        fn = jnp.cross(p1 - p0, p2 - p0)
+        fn_n = mu.safe_normalize(fn)
+        to_l = lp - sd.pos
+        dist_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-9)
+        dist_l = jnp.sqrt(dist_sq)
+        dir_l = to_l / dist_l[..., None]
+        cos_l = jnp.sum(fn_n * (-dir_l), -1)
+        # area-measure target: radiance * G, G = cos_l / dist^2 (the
+        # candidate source pdf is pick_pdf / area in the same measure)
+        li_local = lt.radiance[li_idx] * (jnp.maximum(cos_l, 0.0)
+                                          / dist_sq)[..., None]
+        # point/directional kinds
+        kind = lt.kind[li_idx]
+        pl = lt.position[li_idx]
+        to_p = pl - sd.pos
+        dp_sq = jnp.maximum(jnp.sum(to_p * to_p, -1), 1e-9)
+        dir_p = to_p / jnp.sqrt(dp_sq)[..., None]
+        li_point = lt.radiance[li_idx] / dp_sq[..., None]
+        dir_d = -mu.safe_normalize(pl)
+        is_tri = kind == LI.LIGHT_TRIANGLE
+        is_pt = kind == LI.LIGHT_POINT
+        dir_local = jnp.where(is_tri[..., None], dir_l,
+                              jnp.where(is_pt[..., None], dir_p, dir_d))
+        dist_local = jnp.where(is_tri, dist_l,
+                               jnp.where(is_pt, jnp.sqrt(dp_sq),
+                                         mu.K_MAX_RAY_TRAVEL))
+        li_v = jnp.where(is_tri[..., None], li_local,
+                         jnp.where(is_pt[..., None], li_point,
+                                   lt.radiance[li_idx]))
+    else:
+        n = light.shape[0]
+        dir_local = jnp.zeros((n, 3))
+        dist_local = jnp.zeros((n,))
+        li_v = jnp.zeros((n, 3))
+
+    # --- env sample: uv is the oct-encoded direction
+    dir_env = mu.decode_oct(uv)
+    li_env = EM.eval_dir(assets.env, dir_env)
+
+    direction = jnp.where(is_env[..., None], dir_env, dir_local)
+    distance = jnp.where(is_env, mu.K_MAX_RAY_TRAVEL, dist_local)
+    li = jnp.where(is_env[..., None], li_env, li_v)
+
+    bsdf = _surface_bsdf(gb)
+    wi = sd.to_local(sd.v)
+    wo = sd.to_local(direction)
+    fd, fs = B.bsdf_eval_split(bsdf, wi, wo)
+    contrib_d = fd * li
+    contrib_s = fs * li
+    p_hat = mu.luminance(contrib_d + contrib_s)
+    p_hat = jnp.where(gb.valid & (light != LIGHT_INVALID), p_hat, 0.0)
+    return p_hat, contrib_d, contrib_s, direction, distance
+
+
+def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
+                        num_local: int = 4, num_env: int = 4) -> Reservoir:
+    """GenerateInitialSamples.hlsl: RIS over power-sampled local lights +
+    env-map importance samples."""
+    n = px.shape[0]
+    g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
+    g = rng.start_effect(g, EFFECT_RESTIR_INITIAL)
+    r = Reservoir.empty(n)
+    lt = assets.lights
+
+    for _ in range(num_local if lt is not None else 0):
+        g, u3 = rng.next_3d(g)
+        g, u_sel = rng.next_1d(g)
+        li_idx = jnp.clip(jnp.searchsorted(lt.cdf, u3[..., 0]), 0,
+                          lt.count - 1).astype(jnp.int32)
+        pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
+        uv = u3[..., 1:3]
+        # source pdf in the same measure as eval_target's Li (area-free:
+        # Li folded G and 1/area via radiance*cos/dist2 * area)
+        tri = assets.scene.indices[jnp.maximum(lt.tri[li_idx], 0)]
+        p0 = assets.scene.positions[tri[..., 0]]
+        p1 = assets.scene.positions[tri[..., 1]]
+        p2 = assets.scene.positions[tri[..., 2]]
+        area = 0.5 * jnp.linalg.norm(jnp.cross(p1 - p0, p2 - p0), axis=-1)
+        # area-measure source pdf (uniform over the picked triangle)
+        is_tri = lt.kind[li_idx] == LI.LIGHT_TRIANGLE
+        src_pdf = jnp.where(is_tri, pick_pdf / jnp.maximum(area, 1e-9),
+                            pick_pdf)
+        p_hat, _, _, _, _ = eval_target(assets, gb, li_idx, uv)
+        w = jnp.where(src_pdf > 0, p_hat / jnp.maximum(src_pdf, 1e-20),
+                      0.0)
+        r = update(r, li_idx, uv, w, p_hat, u_sel)
+
+    for _ in range(num_env):
+        g, u2 = rng.next_2d(g)
+        g, u_sel = rng.next_1d(g)
+        d, pdf, le = EM.sample_mip_descent(assets.env, u2)
+        uv = mu.encode_oct(d)
+        light = jnp.full((n,), LIGHT_ENV, jnp.int32)
+        p_hat, _, _, _, _ = eval_target(assets, gb, light, uv)
+        w = jnp.where(pdf > 0, p_hat / jnp.maximum(pdf, 1e-20), 0.0)
+        r = update(r, light, uv, w, p_hat, u_sel)
+    return r
+
+
+def _geometry_similar(gb: GBuffer, n_other, z_other):
+    nrm_ok = jnp.sum(gb.normal * n_other, -1) > 0.9
+    z_ok = jnp.abs(gb.view_z - z_other) < 0.1 * jnp.maximum(gb.view_z,
+                                                            1e-3)
+    return gb.valid & nrm_ok & z_ok
+
+
+def _gather_pixel(arr2d, iy, ix):
+    return arr2d[iy, ix]
+
+
+def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
+                      prev: Optional[Reservoir], prev_gb: Optional[GBuffer],
+                      px, py, width, height, sample_index) -> Reservoir:
+    """TemporalResampling.hlsl: reproject with motion vectors, validate
+    geometry, clamp history M, merge."""
+    if prev is None or prev_gb is None:
+        return cur
+    n = px.shape[0]
+    g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
+    g = rng.start_effect(g, EFFECT_RESTIR_TEMPORAL)
+    g, u = rng.next_1d(g)
+
+    prev_x = px.astype(jnp.float32) + gb.motion[..., 0]
+    prev_y = py.astype(jnp.float32) + gb.motion[..., 1]
+    ix = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, height - 1)
+    in_bounds = (prev_x >= -0.5) & (prev_x < width - 0.5) & \
+        (prev_y >= -0.5) & (prev_y < height - 0.5)
+    flat = iy * width + ix
+
+    pr = Reservoir(light=prev.light[flat], uv=prev.uv[flat],
+                   w_sum=prev.w_sum[flat], m=prev.m[flat],
+                   target=prev.target[flat])
+    sim = _geometry_similar(gb, prev_gb.normal[flat],
+                            prev_gb.view_z[flat]) & in_bounds
+    # clamp history
+    m_clamped = jnp.minimum(pr.m, TEMPORAL_M_CLAMP * jnp.maximum(cur.m,
+                                                                 1.0))
+    pr = pr._replace(m=jnp.where(sim, m_clamped, 0.0),
+                     light=jnp.where(sim, pr.light, LIGHT_INVALID))
+    # re-evaluate prev sample's target at the current pixel
+    p_hat, _, _, _, _ = eval_target(assets, gb, pr.light, pr.uv)
+    return merge(cur, pr, p_hat, u)
+
+
+def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
+                     width, height, sample_index, taps: int = 2,
+                     radius: float = 20.0) -> Reservoir:
+    """SpatialResampling.hlsl: merge nearby reservoirs with geometry
+    tests (biased variant with similarity rejection)."""
+    n = px.shape[0]
+    g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
+    g = rng.start_effect(g, EFFECT_RESTIR_SPATIAL)
+    normal2 = gb.normal
+    z2 = gb.view_z
+    r = cur
+    for _ in range(taps):
+        g, u2 = rng.next_2d(g)
+        g, u = rng.next_1d(g)
+        off = mu.sample_disk_concentric(u2) * radius
+        ix = jnp.clip(px.astype(jnp.int32)
+                      + jnp.round(off[..., 0]).astype(jnp.int32), 0,
+                      width - 1)
+        iy = jnp.clip(py.astype(jnp.int32)
+                      + jnp.round(off[..., 1]).astype(jnp.int32), 0,
+                      height - 1)
+        flat = iy * width + ix
+        nb = Reservoir(light=cur.light[flat], uv=cur.uv[flat],
+                       w_sum=cur.w_sum[flat], m=cur.m[flat],
+                       target=cur.target[flat])
+        sim = _geometry_similar(gb, normal2[flat], z2[flat])
+        nb = nb._replace(m=jnp.where(sim, nb.m, 0.0),
+                         light=jnp.where(sim, nb.light, LIGHT_INVALID))
+        p_hat, _, _, _, _ = eval_target(assets, gb, nb.light, nb.uv)
+        r = merge(r, nb, p_hat, u)
+    return r
+
+
+def final_shade(assets, gb: GBuffer, r: Reservoir
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DIFinalShading.hlsl: visibility ray + weighted contribution.
+    Returns (diffuse, specular) DI radiance."""
+    p_hat, cd, cs, direction, distance = eval_target(assets, gb, r.light,
+                                                     r.uv)
+    w = r.contribution_weight()
+    need = gb.valid & (w > 0.0) & (p_hat > 0.0)
+    origin = gb.surface.sd.compute_new_ray_origin(
+        jnp.ones(gb.valid.shape[0], bool))
+    occluded = traverse.trace_anyhit(
+        assets.bvh, assets.soup, origin, direction,
+        t_max=distance * (1.0 - 1e-4), active=need)
+    vis = need & ~occluded
+    scale = jnp.where(vis, w, 0.0)[..., None]
+    return cd * scale, cs * scale
