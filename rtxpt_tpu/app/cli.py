@@ -42,6 +42,13 @@ def build_arg_parser():
     p.add_argument("--no-auto-expose", action="store_true")
     p.add_argument("--sky-scale", type=float, default=1.0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug-view", default=None,
+                   help="render a debug channel instead of the beauty "
+                   "pass (ShaderDebug DebugViewType equivalent); see "
+                   "rtxpt_tpu.utils.debugviews.VIEWS")
+    p.add_argument("--checkpoint", default=None,
+                   help="accumulation checkpoint file (.npz): resumes if "
+                   "it exists, saves on exit (reference-mode only)")
     return p
 
 
@@ -55,8 +62,12 @@ def load_scene(args):
     if args.scene.endswith((".gltf", ".glb")):
         from ..scene import gltf
         host, cam_info = gltf.load_gltf(args.scene)
+        if cam_info.get("textures"):
+            host["texture_images"] = cam_info["textures"]
         cam = gltf.camera_from_info(cam_info, args.width, args.height)
-        return host, cam, None
+        extra = dict(analytic_lights=gltf.analytic_lights_from_info(
+            cam_info))
+        return host, cam, extra
     if args.scene.endswith(".json"):
         from ..scene import scene_json
         return scene_json.load_scene_json(args.scene, args.width,
@@ -75,7 +86,8 @@ def _run_realtime(args, host, cam, env, frames: int) -> int:
     from ..post.tonemap import tonemap
     from ..utils import image as IM
 
-    cfg = realtime_config(use_restir_di=True, denoiser_enabled=True,
+    cfg = realtime_config(use_restir_di=True, use_restir_gi=True,
+                          denoiser_enabled=True,
                           max_bounces=args.max_bounces,
                           max_diffuse_bounces=args.max_diffuse_bounces
                           or 3,
@@ -150,6 +162,22 @@ def main(argv=None) -> int:
                  analytic_lights=analytic,
                  env_intensity=extra.get("env_intensity", 1.0))
 
+    if args.debug_view:
+        from ..utils import debugviews
+        import numpy as np
+        import jax.numpy as jnp
+        cam_dv = cam._replace(viewport=jnp.asarray(
+            [args.width, args.height], jnp.float32))
+        img = debugviews.render_debug_view(args.debug_view, r.assets,
+                                           cam_dv, args.width, args.height)
+        IM.save_png(args.output, np.asarray(img))
+        if not args.quiet:
+            print(f"wrote debug view {args.debug_view} -> {args.output}")
+        return 0
+
+    if args.checkpoint:
+        r.load_checkpoint(args.checkpoint)
+
     t0 = time.time()
     times = []
 
@@ -179,6 +207,8 @@ def main(argv=None) -> int:
     IM.save_png(args.output, srgb)
     if args.dump_npy:
         IM.save_npy(args.dump_npy, hdr)
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
     if not args.quiet:
         print(f"wrote {args.output}")
     return 0

@@ -40,8 +40,9 @@ from ..post import tonemap
 from ..pt import bsdf as B
 from ..pt import gbuffer as GB
 from ..pt import integrator, nested
-from ..restir import di
+from ..restir import di, gi
 from ..restir.reservoir import Reservoir
+from ..scene import envmap as EM
 from ..scene.camera import CameraData
 from .renderer import Renderer, realtime_config, r2_jitter
 
@@ -61,12 +62,14 @@ class FrameOutputs(NamedTuple):
     specular_albedo: jnp.ndarray
     emission_bg: jnp.ndarray
     reservoir: Reservoir
+    gi_reservoir: gi.GIReservoir
     gb_normal: jnp.ndarray
     gb_view_z: jnp.ndarray
 
 
 def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
-              prev_res: Optional[Reservoir], prev_gb_normal,
+              prev_res: Optional[Reservoir],
+              prev_gi: "Optional[gi.GIReservoir]", prev_gb_normal,
               prev_gb_z, px, py, consts, *, cfg: C.PTConfig,
               width: int, height: int, has_prev: bool):
     """Stage 1 (ray tracing): G-buffer, ReSTIR DI, indirect paths."""
@@ -151,18 +154,45 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         emissive_mis=mis0,
         env_mis=mis0,
         px=px, py=py)
-    indirect = integrator.render_paths(assets, cam, path0, consts,
-                                       cfg=cfg)
-    ind_d = jnp.where((primary_diffuse | ~gb.valid)[..., None], indirect,
-                      0.0)
-    ind_s = jnp.where((primary_diffuse | ~gb.valid)[..., None], 0.0,
-                      indirect)
+    # unit initial throughput: the loop returns Lo(secondary->primary);
+    # composition applies either bs.weight (plain PT) or the ReSTIR GI
+    # reservoir weight (GenerateScatterRay pdf split,
+    # PathTracer.hlsli:170-175)
+    path0 = path0._replace(thp=jnp.ones((n, 3), jnp.float32))
+    lo, (sec_pos, sec_nrm, sec_found) = integrator.render_paths(
+        assets, cam, path0, consts, cfg=cfg, capture_first_hit=True)
+
+    plain_ind = bs.weight * lo
+    gi_eligible = (active & sec_found & ~is_delta & ~is_trans
+                   & (bs.pdf > 0.0) & jnp.asarray(cfg.use_restir_gi))
+    if cfg.use_restir_gi:
+        gr = gi.make_initial(gb, sec_pos, sec_nrm,
+                             gi_eligible, lo, bs.pdf)
+        if has_prev and prev_gi is not None:
+            gr = gi.temporal_resample(gb, gr, prev_gi, prev_gb_normal,
+                                      prev_gb_z, px, py, width, height,
+                                      frame)
+        gi_feedback = gr
+        gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
+        gi_d, gi_s = gi.final_shade(assets, gb, gr)
+        ind_d = jnp.where(gi_eligible[..., None], gi_d,
+                          jnp.where((primary_diffuse
+                                     | ~gb.valid)[..., None],
+                                    plain_ind, 0.0))
+        ind_s = jnp.where(gi_eligible[..., None], gi_s,
+                          jnp.where((primary_diffuse
+                                     | ~gb.valid)[..., None], 0.0,
+                                    plain_ind))
+    else:
+        gi_feedback = gi.GIReservoir.empty(n)
+        ind_d = jnp.where((primary_diffuse | ~gb.valid)[..., None],
+                          plain_ind, 0.0)
+        ind_s = jnp.where((primary_diffuse | ~gb.valid)[..., None], 0.0,
+                          plain_ind)
 
     # ---- background + primary emission
     env_bg = jnp.where(gb.valid[..., None], 0.0,
-                       __import__("rtxpt_tpu.scene.envmap",
-                                  fromlist=["eval_dir"]).eval_dir(
-                           assets.env, gb.view_dir))
+                       EM.eval_dir(assets.env, gb.view_dir))
     emission_bg = gb.emission + env_bg
 
     shp = (height, width)
@@ -177,8 +207,8 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         diffuse_albedo=r3(gb.diffuse_albedo),
         specular_albedo=r3(gb.specular_albedo),
         emission_bg=r3(emission_bg),
-        reservoir=r_feedback, gb_normal=gb.normal,
-        gb_view_z=gb.view_z)
+        reservoir=r_feedback, gi_reservoir=gi_feedback,
+        gb_normal=gb.normal, gb_view_z=gb.view_z)
 
 
 class RealtimeRenderer(Renderer):
@@ -188,11 +218,13 @@ class RealtimeRenderer(Renderer):
     def __init__(self, host_scene, camera, cfg: Optional[C.PTConfig] = None,
                  **kw):
         cfg = cfg or realtime_config(use_restir_di=True,
+                                     use_restir_gi=True,
                                      denoiser_enabled=True)
         super().__init__(host_scene, camera, cfg, **kw)
         self.frame_index = 0
         self.prev_cam = camera
         self.prev_reservoir = None
+        self.prev_gi = None
         self.prev_gb_normal = None
         self.prev_gb_z = None
         self.den_diff = None
@@ -222,6 +254,7 @@ class RealtimeRenderer(Renderer):
                 has_prev=has_prev))
         out = self._frame_jit[key](
             self.assets, cam, self.prev_cam, self.prev_reservoir,
+            self.prev_gi,
             self.prev_gb_normal if has_prev else jnp.zeros((width * height,
                                                             3)),
             self.prev_gb_z if has_prev else jnp.zeros((width * height,)),
@@ -251,6 +284,7 @@ class RealtimeRenderer(Renderer):
         # feedback state
         self.prev_cam = cam
         self.prev_reservoir = out.reservoir
+        self.prev_gi = out.gi_reservoir
         self.prev_gb_normal = out.gb_normal
         self.prev_gb_z = out.gb_view_z
         self.frame_index += 1

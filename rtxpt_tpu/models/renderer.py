@@ -58,10 +58,13 @@ class Renderer:
     def __init__(self, host_scene: dict, camera: CameraData,
                  cfg: Optional[C.PTConfig] = None,
                  env_radiance=None, analytic_lights=None,
-                 env_intensity: float = 1.0):
+                 env_intensity: float = 1.0, textures=None):
         self.cfg = cfg or reference_config()
         self.camera = camera
-        self.scene = to_device(host_scene)
+        if textures is None and host_scene.get("texture_images"):
+            from ..scene.textures import build_texture_stack
+            textures = build_texture_stack(host_scene["texture_images"])
+        self.scene = to_device(host_scene, textures=textures)
         self.bvh2 = bvh_mod.build_bvh(host_scene["positions"],
                                       host_scene["indices"],
                                       leaf_size=self.cfg.leaf_size)
@@ -122,6 +125,23 @@ class Renderer:
     def reset_accumulation(self):
         self.accum = None
         self.sample_index = 0
+
+    # ---- checkpoint/resume: reference-mode accumulation is resumable by
+    # construction (buffer + sample index; SURVEY.md section 5)
+    def save_checkpoint(self, path: str):
+        if self.accum is None:
+            return
+        np.savez(path, accum=np.asarray(self.accum),
+                 sample_index=self.sample_index)
+
+    def load_checkpoint(self, path: str) -> bool:
+        import os
+        if not os.path.exists(path):
+            return False
+        data = np.load(path)
+        self.accum = jnp.asarray(data["accum"])
+        self.sample_index = int(data["sample_index"])
+        return True
 
     def tonemapped(self, hdr, exposure: float = 1.0,
                    auto_expose: bool = True):

@@ -53,12 +53,30 @@ class BVH2(NamedTuple):
 
 
 def build_bvh(positions: np.ndarray, indices: np.ndarray,
-              leaf_size: int = 4) -> BVH2:
-    """Median-split (on centroid, largest axis) binary BVH. Balanced depth
-    ~log2(T/leaf): recursion-safe and fully deterministic."""
+              leaf_size: int = 4, use_native: bool = True) -> BVH2:
+    """BVH2 build. Prefers the native C++ binned-SAH builder
+    (rtxpt_tpu/native/bvh_builder.cpp) — the equivalent of the reference's
+    driver-side BLAS build — and falls back to the numpy median-split
+    builder when the native library is unavailable."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int64)
     t = indices.shape[0]
+    if use_native and t > 0:
+        try:
+            from .. import native
+            res = native.build_bvh_native(positions,
+                                          indices.astype(np.int32),
+                                          leaf_size)
+        except Exception:
+            res = None
+        if res is not None:
+            bounds, child, depth, order = res
+            levels = tuple(np.where(depth == d)[0]
+                           for d in range(int(depth.max()) + 1))
+            return BVH2(child_bounds=jnp.asarray(bounds),
+                        child_idx=jnp.asarray(child),
+                        order=jnp.asarray(order.astype(np.int32)),
+                        levels=levels)
     if t == 0:
         return BVH2(jnp.zeros((1, 12), jnp.float32),
                     jnp.asarray([[EMPTY_LEAF, EMPTY_LEAF]], jnp.int32),
@@ -161,23 +179,47 @@ class BVH8:
     row = (-code-1) >> 5 and count = (-code-1) & 31; -1 = empty slot.
     leaf_size/num_nodes are static pytree aux data (jit-specializing)."""
 
-    def __init__(self, table, leaf_tris, leaf_size: int, num_nodes: int):
+    def __init__(self, table, leaf_tris, leaf_size: int, num_nodes: int,
+                 refit_info=None):
         self.table = table          # (R, W) f32 unified node/leaf rows
         self.leaf_tris = leaf_tris  # (R*leaf_size,) i32 original tri ids
         self.leaf_size = leaf_size
         self.num_nodes = num_nodes
+        # static host-side topology for device refit: {"codes": (Nn,8)
+        # np.int32 child codes per node row, "levels": tuple of np arrays
+        # of node-row ids by depth}
+        self.refit_info = refit_info
 
     @property
     def num_rows(self) -> int:
         return self.table.shape[0]
 
+    def replace_table(self, table) -> "BVH8":
+        return BVH8(table, self.leaf_tris, self.leaf_size, self.num_nodes,
+                    self.refit_info)
+
     def tree_flatten(self):
         return (self.table, self.leaf_tris), (self.leaf_size,
-                                              self.num_nodes)
+                                              self.num_nodes,
+                                              _StaticWrap(self.refit_info))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2].val)
+
+
+class _StaticWrap:
+    """Hashable identity wrapper so host-side refit topology can ride in
+    pytree aux data without defining array equality."""
+
+    def __init__(self, val):
+        self.val = val
+
+    def __hash__(self):
+        return id(self.val)
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticWrap) and other.val is self.val
 
 
 def collapse_bvh8(bvh: BVH2, positions, indices,
@@ -332,9 +374,28 @@ def collapse_bvh8(bvh: BVH2, positions, indices,
         table[row, :c * 9] = np.concatenate([p0, e1, e2],
                                             axis=1).reshape(-1)
 
+    # refit topology: remapped child codes per node row + depth levels
+    codes_mat = np.zeros((n_nodes, 8), np.int32)
+    node_depth = np.zeros(n_nodes, np.int32)
+
+    def _depth_fill(row, d):
+        node_depth[row] = d
+        for c in codes_mat[row]:
+            if c >= 0:
+                _depth_fill(c, d + 1)
+
+    for i in range(n_nodes):
+        codes_mat[i] = np.frombuffer(
+            table[i, 48:56].astype(np.float32).tobytes(),
+            np.float32).astype(np.int32)
+    _depth_fill(0, 0)
+    levels = tuple(np.where(node_depth == d)[0]
+                   for d in range(int(node_depth.max()) + 1))
+    refit_info = {"codes": codes_mat, "levels": levels}
     return BVH8(table=jnp.asarray(table),
                 leaf_tris=jnp.asarray(leaf_tris.reshape(-1)),
-                leaf_size=leaf_collapse, num_nodes=n_nodes)
+                leaf_size=leaf_collapse, num_nodes=n_nodes,
+                refit_info=refit_info)
 
 
 def refit(bvh: BVH2, positions: jnp.ndarray, indices: jnp.ndarray) -> BVH2:

@@ -149,10 +149,15 @@ def render_wavefront(assets: RenderAssets, cam: CameraData, px, py,
 
 def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                  consts: PTConstants, *, cfg: PTConfig,
-                 sub_sample_index=0):
+                 sub_sample_index=0, capture_first_hit: bool = False):
     """Run the bounce loop from an arbitrary initial PathState (used by
     the realtime FILL pass to continue paths from the primary surface,
-    PathTracerStablePlanes firstHitFromBasePlane semantics)."""
+    PathTracerStablePlanes firstHitFromBasePlane semantics).
+
+    capture_first_hit=True additionally returns the first TRUE hit of each
+    path (position, oriented normal, found mask) -- the secondary-surface
+    export consumed by ReSTIR GI (u_SecondarySurfacePositionNormal,
+    RTXPT/Sample.hlsl:279)."""
     n = path0.px.shape[0]
     mat_iors = assets.scene.materials.ior
     vol_abs = assets.scene.materials.volume_absorption
@@ -167,7 +172,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                         + jnp.uint32(sub_sample_index))
 
     def body(carry):
-        path, it = carry
+        path, it, first = carry
         hit = traverse.trace_closest(
             assets.bvh, assets.soup, path.origin, path.direction,
             t_min=0.0, t_max=mu.K_MAX_RAY_TRAVEL, active=path.active,
@@ -201,7 +206,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
 
         # --- HandleHit (PathTracer.hlsli:371-525)
         surf = shading.load_surface(assets.scene, hit.prim, hit.bary,
-                                    path.direction)
+                                    path.direction,
+                                    cone_width=cone_width)
         sd = surf.sd
 
         # volume absorption (Beer-Lambert; PathTracer.hlsli:406-415)
@@ -214,15 +220,23 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         thp = jnp.where((is_hit & in_medium)[..., None],
                         path.thp * transmittance, path.thp)
 
+        # alpha test (AnyHit / Bridge::AlphaTest equivalent,
+        # Sample.hlsl:408-413): MASK-mode materials below the cutoff are
+        # treated as rejected hits and the path continues through
+        alpha_reject = is_hit & \
+            (assets.scene.materials.alpha_mode[sd.material_id] == 1) & \
+            (sd.opacity < assets.scene.materials.alpha_cutoff[
+                sd.material_id])
+
         # nested dielectrics: reject false hits
         # (PathTracerNestedDielectrics.hlsli:48-91)
         true_int = nested.is_true_intersection(path.interior,
                                                sd.nested_priority)
-        reject = is_hit & ~true_int
+        reject = is_hit & (~true_int | alpha_reject)
         can_reject = reject & (path.rejected_hits < K_MAX_REJECTED_HITS)
         kill_reject = reject & ~can_reject
         interior = jnp.where(
-            can_reject[..., None],
+            (can_reject & ~alpha_reject)[..., None],
             nested.handle_intersection(path.interior, sd.material_id,
                                        sd.nested_priority, sd.front_facing),
             path.interior)
@@ -232,6 +246,15 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         vertex_index = vertex_index - can_reject.astype(jnp.int32)
         rejected_hits = path.rejected_hits + can_reject.astype(jnp.int32)
         shade = is_hit & true_int
+
+        # first true-hit capture (secondary-surface export for ReSTIR GI)
+        first_pos, first_nrm, first_found = first
+        cap = shade & ~first_found
+        first = (jnp.where(cap[..., None], sd.pos, first_pos),
+                 jnp.where(cap[..., None],
+                           jnp.where(sd.front_facing[..., None], sd.face_n,
+                                     -sd.face_n), first_nrm),
+                 first_found | cap)
 
         outside_ior = nested.compute_outside_ior(
             path.interior, sd.material_id, sd.front_facing, mat_iors)
@@ -411,14 +434,19 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             cone_width=path.cone_width, cone_spread=cone_spread,
             interior=interior, emissive_mis=emissive_mis, env_mis=env_mis,
             px=path.px, py=path.py)
-        return (new_path, it + 1)
+        return (new_path, it + 1, first)
 
     def cond(carry):
-        path, it = carry
+        path, it, _ = carry
         return jnp.any(path.active) & (it < max_iters)
 
-    path, _ = jax.lax.while_loop(cond, body, (path0, jnp.asarray(0,
-                                                                 jnp.int32)))
+    first0 = (jnp.zeros((n, 3), jnp.float32),
+              jnp.zeros((n, 3), jnp.float32),
+              jnp.zeros((n,), bool))
+    path, _, first = jax.lax.while_loop(
+        cond, body, (path0, jnp.asarray(0, jnp.int32), first0))
+    if capture_first_hit:
+        return path.radiance, first
     return path.radiance
 
 

@@ -102,7 +102,7 @@ def _adjust_shading_normal(n, v, oriented_face_n, tangent_w):
 
 
 def load_surface(scene: SceneArrays, prim, bary, ray_dir,
-                 outside_ior=None) -> SurfaceData:
+                 outside_ior=None, cone_width=None) -> SurfaceData:
     """Gather + interpolate surface attributes for a wavefront of hits and
     build StandardBSDFData exactly like the bridge
     (PathTracerBridgeDonut.hlsli:364-528).
@@ -150,8 +150,48 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     transmission = m.transmission[mid]
     diffuse_transmission = m.diffuse_transmission[mid]
     thin = m.thin_surface[mid]
+    emissive = m.emissive[mid]
+    opacity = jnp.ones_like(roughness)
     nested_priority = jnp.minimum(
         K_MAX_NESTED_PRIORITY, 1 + m.nested_priority[mid]).astype(jnp.int32)
+
+    # ---- texture taps with ray-cone LOD (sampleGeometryMaterial +
+    # createTextureSampler, BridgeDonut:337-352,411)
+    if scene.textures is not None:
+        from ..scene import textures as TX
+        uv0 = scene.uvs[tri[..., 0]]
+        uv1 = scene.uvs[tri[..., 1]]
+        uv2 = scene.uvs[tri[..., 2]]
+        e1uv = uv1 - uv0
+        e2uv = uv2 - uv0
+        uv_area = 0.5 * jnp.abs(e1uv[..., 0] * e2uv[..., 1]
+                                - e1uv[..., 1] * e2uv[..., 0])
+        world_area = 0.5 * jnp.linalg.norm(
+            jnp.cross(p1 - p0, p2 - p0), axis=-1)
+        if cone_width is not None:
+            cos_t = jnp.sum(face_n * v, axis=-1)
+            lod = TX.ray_cone_lod(cone_width, cos_t, uv_area, world_area,
+                                  scene.textures.mips[0].shape[1])
+        else:
+            lod = None
+        base_tap = TX.sample_stack(scene.textures, m.base_tex[mid], uv,
+                                   lod)
+        base_color = base_color * base_tap[..., :3]
+        opacity = base_tap[..., 3]
+        mr = TX.sample_stack(scene.textures, m.metal_rough_tex[mid], uv,
+                             lod)
+        has_mr = m.metal_rough_tex[mid] >= 0
+        roughness = jnp.where(has_mr, roughness * mr[..., 1], roughness)
+        metalness = jnp.where(has_mr, metalness * mr[..., 2], metalness)
+        em_tap = TX.sample_stack(scene.textures, m.emissive_tex[mid], uv,
+                                 lod)
+        emissive = emissive * em_tap[..., :3]
+        nm = m.normal_tex[mid]
+        has_nm = nm >= 0
+        nm_tap = TX.sample_stack(scene.textures, nm, uv, lod)
+        n_mapped = TX.perturb_normal(n, t, b, nm_tap)
+        n = jnp.where(has_nm[..., None], n_mapped, n)
+        n, t, b = _adjust_shading_normal(n, v, oriented_ng, tan)
 
     spec_trans = transmission * (1.0 - metalness)
     diff_trans = diffuse_transmission * (1.0 - metalness)
@@ -172,12 +212,12 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
         diffuse_transmission=diff_trans, specular_transmission=spec_trans)
 
     # single-sided emission (BridgeDonut:517)
-    emission = jnp.where(front_facing[..., None], m.emissive[mid], 0.0)
+    emission = jnp.where(front_facing[..., None], emissive, 0.0)
 
     sd = ShadingData(
         pos=pos, v=v, n=n, t=t, b=b, uv=uv, face_n=face_n,
         vertex_n=vertex_n, front_facing=front_facing, material_id=mid,
-        opacity=jnp.ones_like(roughness), ior=outside_ior,
+        opacity=opacity, ior=outside_ior,
         shadow_nol_fadeout=m.shadow_nol_fadeout[mid],
         thin_surface=thin, nested_priority=nested_priority)
     return SurfaceData(sd=sd, bsdf_data=data, emission=emission,

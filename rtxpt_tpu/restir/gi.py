@@ -1,0 +1,196 @@
+"""ReSTIR GI: secondary-surface reservoir resampling for indirect light.
+
+TPU-native re-design of the reference's ReSTIR GI pipeline
+(RTXPT/RTXDI/GITemporalResampling.hlsl, GISpatialResampling.hlsl,
+GIFinalShading.hlsl; secondary surface exported by the path tracer,
+Sample.hlsl:279; ExecuteGI at RtxdiPass.cpp:508).
+
+A GI reservoir stores one secondary-surface sample per pixel: the world
+position + normal of the first bounce hit and the outgoing radiance Lo
+toward the primary surface (computed by the shared wavefront bounce loop
+with unit initial throughput). The target function at a receiving pixel is
+p_hat = luminance(f(primary -> sample) * Lo); spatial reuse applies the
+solid-angle Jacobian |J| of reconnecting the sample to a different
+receiver (Ouyang et al. 2021, eq. 11).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..core import mathutils as mu
+from ..core import rng
+from ..ops import traverse
+from ..pt import bsdf as B
+from ..pt.gbuffer import GBuffer
+
+EFFECT_RESTIR_GI_TEMPORAL = 24
+EFFECT_RESTIR_GI_SPATIAL = 25
+
+GI_TEMPORAL_M_CLAMP = 30.0
+
+
+class GIReservoir(NamedTuple):
+    pos: jnp.ndarray        # (N,3) secondary sample position
+    normal: jnp.ndarray     # (N,3) secondary surface normal (geometric)
+    radiance: jnp.ndarray   # (N,3) Lo toward the receiver
+    w_sum: jnp.ndarray      # (N,)
+    m: jnp.ndarray          # (N,)
+    target: jnp.ndarray     # (N,) cached p_hat of the stored sample
+    valid: jnp.ndarray      # (N,) sample exists
+
+    @staticmethod
+    def empty(n: int) -> "GIReservoir":
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        z1 = jnp.zeros((n,), jnp.float32)
+        return GIReservoir(z3, z3, z3, z1, z1, z1,
+                           jnp.zeros((n,), bool))
+
+    def contribution_weight(self):
+        denom = self.m * self.target
+        return jnp.where(self.valid & (denom > 0.0),
+                         self.w_sum / jnp.maximum(denom, 1e-20), 0.0)
+
+
+def eval_target(gb: GBuffer, pos, normal, radiance, valid):
+    """p_hat = luminance(f * cos * Lo) at the receiving pixel; returns
+    (p_hat, f_diff*Lo, f_spec*Lo, direction, distance)."""
+    from ..pt import shading
+    sd = gb.surface.sd
+    to_s = pos - sd.pos
+    dist_sq = jnp.maximum(jnp.sum(to_s * to_s, -1), 1e-9)
+    dist = jnp.sqrt(dist_sq)
+    direction = to_s / dist[..., None]
+    bsdf = shading.make_wavefront_bsdf(gb.surface)
+    wi = sd.to_local(sd.v)
+    wo = sd.to_local(direction)
+    fd, fs = B.bsdf_eval_split(bsdf, wi, wo)
+    cd = fd * radiance
+    cs = fs * radiance
+    p_hat = mu.luminance(cd + cs)
+    p_hat = jnp.where(gb.valid & valid, p_hat, 0.0)
+    return p_hat, cd, cs, direction, dist
+
+
+def _jacobian(gb_pos, sample: GIReservoir, src_receiver_pos):
+    """Solid-angle reconnection Jacobian |J(q->r)| (ReSTIR GI eq. 11)."""
+    def geo(recv):
+        v = sample.pos - recv
+        d2 = jnp.maximum(jnp.sum(v * v, -1), 1e-9)
+        cosv = jnp.abs(jnp.sum(sample.normal * (-v)
+                               / jnp.sqrt(d2)[..., None], -1))
+        return jnp.maximum(cosv, 1e-4) / d2
+    return geo(gb_pos) / geo(src_receiver_pos)
+
+
+def make_initial(gb: GBuffer, sec_pos, sec_normal, sec_found, lo,
+                 src_pdf) -> GIReservoir:
+    """Wrap the path-traced secondary sample as a 1-candidate reservoir
+    (candidate pdf = the primary BSDF sampling pdf in solid angle)."""
+    p_hat, _, _, _, _ = eval_target(gb, sec_pos, sec_normal, lo, sec_found)
+    w = jnp.where(sec_found & (src_pdf > 0.0),
+                  p_hat / jnp.maximum(src_pdf, 1e-20), 0.0)
+    return GIReservoir(pos=sec_pos, normal=sec_normal, radiance=lo,
+                       w_sum=w, m=jnp.ones_like(w), target=p_hat,
+                       valid=sec_found)
+
+
+def _merge(r: GIReservoir, other: GIReservoir, p_hat_center, jac,
+           u) -> GIReservoir:
+    w_in = p_hat_center * other.contribution_weight() * other.m * jac
+    w_sum = r.w_sum + w_in
+    take = (u * w_sum < w_in) & (w_in > 0.0)
+    return GIReservoir(
+        pos=jnp.where(take[..., None], other.pos, r.pos),
+        normal=jnp.where(take[..., None], other.normal, r.normal),
+        radiance=jnp.where(take[..., None], other.radiance, r.radiance),
+        w_sum=w_sum, m=r.m + other.m,
+        target=jnp.where(take, p_hat_center, r.target),
+        valid=r.valid | (take & other.valid))
+
+
+def _gather(r: GIReservoir, flat) -> GIReservoir:
+    return GIReservoir(pos=r.pos[flat], normal=r.normal[flat],
+                       radiance=r.radiance[flat], w_sum=r.w_sum[flat],
+                       m=r.m[flat], target=r.target[flat],
+                       valid=r.valid[flat])
+
+
+def temporal_resample(gb: GBuffer, cur: GIReservoir,
+                      prev: Optional[GIReservoir], prev_normal, prev_z,
+                      px, py, width, height, frame) -> GIReservoir:
+    if prev is None:
+        return cur
+    g = rng.make(px, py, jnp.uint32(0), jnp.uint32(frame))
+    g = rng.start_effect(g, EFFECT_RESTIR_GI_TEMPORAL)
+    g, u = rng.next_1d(g)
+    prev_x = px.astype(jnp.float32) + gb.motion[..., 0]
+    prev_y = py.astype(jnp.float32) + gb.motion[..., 1]
+    ix = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, height - 1)
+    in_b = (prev_x >= -0.5) & (prev_x < width - 0.5) & \
+        (prev_y >= -0.5) & (prev_y < height - 0.5)
+    flat = iy * width + ix
+    pr = _gather(prev, flat)
+    sim = in_b & gb.valid & \
+        (jnp.sum(gb.normal * prev_normal[flat], -1) > 0.9) & \
+        (jnp.abs(gb.view_z - prev_z[flat])
+         < 0.1 * jnp.maximum(gb.view_z, 1e-3))
+    pr = pr._replace(m=jnp.where(sim, jnp.minimum(
+        pr.m, GI_TEMPORAL_M_CLAMP), 0.0), valid=pr.valid & sim)
+    p_hat, _, _, _, _ = eval_target(gb, pr.pos, pr.normal, pr.radiance,
+                                    pr.valid)
+    # temporal reuse is same-point reconnection -> Jacobian ~ 1
+    return _merge(cur, pr, p_hat, jnp.ones_like(p_hat), u)
+
+
+def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
+                     frame, taps: int = 2,
+                     radius: float = 16.0) -> GIReservoir:
+    g = rng.make(px, py, jnp.uint32(0), jnp.uint32(frame))
+    g = rng.start_effect(g, EFFECT_RESTIR_GI_SPATIAL)
+    r = cur
+    pos2 = gb.pos
+    normal2 = gb.normal
+    z2 = gb.view_z
+    for _ in range(taps):
+        g, u2 = rng.next_2d(g)
+        g, u = rng.next_1d(g)
+        off = mu.sample_disk_concentric(u2) * radius
+        ix = jnp.clip(px.astype(jnp.int32)
+                      + jnp.round(off[..., 0]).astype(jnp.int32), 0,
+                      width - 1)
+        iy = jnp.clip(py.astype(jnp.int32)
+                      + jnp.round(off[..., 1]).astype(jnp.int32), 0,
+                      height - 1)
+        flat = iy * width + ix
+        nb = _gather(cur, flat)
+        sim = gb.valid & \
+            (jnp.sum(gb.normal * normal2[flat], -1) > 0.9) & \
+            (jnp.abs(gb.view_z - z2[flat])
+             < 0.1 * jnp.maximum(gb.view_z, 1e-3))
+        nb = nb._replace(m=jnp.where(sim, nb.m, 0.0),
+                         valid=nb.valid & sim)
+        p_hat, _, _, _, _ = eval_target(gb, nb.pos, nb.normal,
+                                        nb.radiance, nb.valid)
+        jac = jnp.clip(_jacobian(gb.pos, nb, pos2[flat]), 0.0, 10.0)
+        r = _merge(r, nb, p_hat, jac, u)
+    return r
+
+
+def final_shade(assets, gb: GBuffer, r: GIReservoir
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GIFinalShading.hlsl: reconnection visibility + weighted shade."""
+    p_hat, cd, cs, direction, dist = eval_target(gb, r.pos, r.normal,
+                                                 r.radiance, r.valid)
+    w = r.contribution_weight()
+    need = gb.valid & (w > 0.0) & (p_hat > 0.0)
+    origin = gb.surface.sd.compute_new_ray_origin(
+        jnp.ones(gb.valid.shape[0], bool))
+    occluded = traverse.trace_anyhit(
+        assets.bvh, assets.soup, origin, direction,
+        t_max=jnp.maximum(dist - 1e-3, 1e-4), active=need)
+    vis = need & ~occluded
+    scale = jnp.where(vis, w, 0.0)[..., None]
+    return cd * scale, cs * scale

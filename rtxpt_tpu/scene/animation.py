@@ -1,0 +1,178 @@
+"""Animation: glTF keyframe tracks + skeletal skinning + geometry update.
+
+TPU-native equivalent of the reference's animation stack:
+  - donut SceneGraph keyframe animations (donut/src/engine/SceneGraph.cpp;
+    per-frame transform refresh driven from Scene::Refresh,
+    Sample.cpp:1980)
+  - compute-shader skinning (donut/src/engine/Scene.cpp:745-800
+    skinning_cs) -> one fused jnp matmul over skinned vertices
+  - per-frame BLAS refit (Sample.cpp:1353-1380) -> ops/bvh.refit (BVH2) /
+    refit_bvh8 below (device-side leaf rebuild + level-sweep bounds)
+
+Host-side keyframe evaluation is numpy (cheap); vertex transforms and
+skinning run on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Channel:
+    """One animation channel: node target + keyframe samplers."""
+    node: int
+    path: str                 # "translation" | "rotation" | "scale"
+    times: np.ndarray         # (K,)
+    values: np.ndarray        # (K, 3|4)
+    interpolation: str = "LINEAR"
+
+
+def parse_animations(gf) -> List[List[Channel]]:
+    """Parse glTF animations from a gltf.GltfFile."""
+    out = []
+    for anim in gf.json.get("animations", []):
+        channels = []
+        for ch in anim.get("channels", []):
+            tgt = ch.get("target", {})
+            if tgt.get("path") not in ("translation", "rotation", "scale"):
+                continue
+            smp = anim["samplers"][ch["sampler"]]
+            channels.append(Channel(
+                node=tgt["node"], path=tgt["path"],
+                times=gf.accessor(smp["input"]).astype(np.float32),
+                values=gf.accessor(smp["output"]).astype(np.float32),
+                interpolation=smp.get("interpolation", "LINEAR")))
+        out.append(channels)
+    return out
+
+
+def _slerp(q0, q1, t):
+    d = np.dot(q0, q1)
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        q = q0 + t * (q1 - q0)
+        return q / np.linalg.norm(q)
+    th = np.arccos(np.clip(d, -1, 1))
+    return (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+
+
+def sample_channel(ch: Channel, t: float) -> np.ndarray:
+    """Evaluate a channel at time t (clamped; LINEAR or STEP)."""
+    times = ch.times
+    if t <= times[0]:
+        return ch.values[0]
+    if t >= times[-1]:
+        return ch.values[-1]
+    i = int(np.searchsorted(times, t) - 1)
+    if ch.interpolation == "STEP":
+        return ch.values[i]
+    f = (t - times[i]) / max(times[i + 1] - times[i], 1e-9)
+    if ch.path == "rotation":
+        return _slerp(ch.values[i], ch.values[i + 1], float(f))
+    return ch.values[i] * (1 - f) + ch.values[i + 1] * f
+
+
+def apply_animation(nodes: list, channels: List[Channel], t: float):
+    """Write sampled TRS values back into glTF node dicts (host)."""
+    for ch in channels:
+        nodes[ch.node][ch.path] = [float(v) for v in sample_channel(ch, t)]
+
+
+# ---------------------------------------------------------------------------
+# Skinning (device): one matmul per frame over skinned vertices
+# ---------------------------------------------------------------------------
+
+def skin_vertices(rest_positions, rest_normals, joints, weights,
+                  joint_matrices):
+    """Linear-blend skinning (skinning_cs equivalent, Scene.cpp:745-800).
+
+    rest_*: (V,3); joints (V,4) i32; weights (V,4); joint_matrices
+    (J,3,4) world*inverseBind. Fused gather + weighted transform."""
+    m = joint_matrices[joints]                     # (V,4,3,4)
+    w = weights[..., None, None]                   # (V,4,1,1)
+    blended = jnp.sum(m * w, axis=1)               # (V,3,4)
+    p = jnp.einsum("vij,vj->vi", blended[..., :3], rest_positions) \
+        + blended[..., 3]
+    nrm = jnp.einsum("vij,vj->vi", blended[..., :3], rest_normals)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                            1e-20)
+    return p, nrm
+
+
+# ---------------------------------------------------------------------------
+# BVH8 device refit after vertex animation
+# ---------------------------------------------------------------------------
+
+def refit_bvh8(bvh8, positions, indices):
+    """Rebuild leaf triangle rows + refit node bounds on device after
+    vertex animation (topology unchanged). The per-frame equivalent of the
+    skinned-BLAS update (Sample.cpp:1355-1380).
+
+    Requires the BVH8 to carry refit topology (node child codes + levels),
+    produced by ops.bvh.collapse_bvh8 (refit_info)."""
+    from ..ops.bvh import LEAF_MAX
+    table = bvh8.table
+    leaf = bvh8.leaf_size
+    rows = table.shape[0]
+
+    # --- leaf rows: re-expand (p0, e1, e2) per slot
+    tri_ids = bvh8.leaf_tris.reshape(rows, leaf)         # (R, leaf)
+    valid = tri_ids >= 0
+    tid = jnp.maximum(tri_ids, 0)
+    tri = indices[tid]                                    # (R, leaf, 3)
+    p0 = positions[tri[..., 0]]
+    e1 = positions[tri[..., 1]] - p0
+    e2 = positions[tri[..., 2]] - p0
+    tri_rows = jnp.concatenate([p0, e1, e2], axis=-1)     # (R, leaf, 9)
+    tri_rows = jnp.where(valid[..., None], tri_rows, 0.0)
+    leaf_data = tri_rows.reshape(rows, leaf * 9)
+    is_leaf_row = jnp.any(valid, axis=-1) & (
+        jnp.arange(rows) >= bvh8.num_nodes)
+    width = table.shape[1]
+    if leaf * 9 < width:
+        leaf_data = jnp.pad(leaf_data, ((0, 0), (0, width - leaf * 9)))
+    table = jnp.where(is_leaf_row[:, None], leaf_data, table)
+
+    # --- leaf AABBs
+    pts = positions[tri]                                  # (R, leaf, 3, 3)
+    big = 1e30
+    lo = jnp.where(valid[..., None, None], pts, big).min(axis=(1, 2))
+    hi = jnp.where(valid[..., None, None], pts, -big).max(axis=(1, 2))
+
+    info = bvh8.refit_info
+    node_codes = jnp.asarray(info["codes"])               # (Nn, 8) i32
+    # bottom-up level sweep over node rows
+    row_lo, row_hi = lo, hi    # per-row total AABB (leaf rows valid now)
+    for level in info["levels"][::-1]:
+        ids = jnp.asarray(level)
+        codes = node_codes[ids]                           # (L, 8)
+        slot_bounds = []
+        tot_lo = jnp.full((ids.shape[0], 3), big)
+        tot_hi = jnp.full((ids.shape[0], 3), -big)
+        for k in range(8):
+            c = codes[:, k]
+            empty = c == -1
+            is_lf = c < -1
+            lrow = jnp.where(is_lf, (-c - 1) >> 5, 0)
+            nrow = jnp.where(c >= 0, c, 0)
+            src = jnp.where(is_lf, lrow, nrow)
+            s_lo = jnp.where(empty[:, None], big, row_lo[src])
+            s_hi = jnp.where(empty[:, None], -big, row_hi[src])
+            slot_bounds.append((s_lo, s_hi))
+            tot_lo = jnp.minimum(tot_lo, s_lo)
+            tot_hi = jnp.maximum(tot_hi, s_hi)
+        node_row = jnp.concatenate(
+            [jnp.concatenate([b[0], b[1]], axis=-1) for b in slot_bounds],
+            axis=-1)                                      # (L, 48)
+        keep = table[ids][:, 48:]
+        table = table.at[ids].set(jnp.concatenate([node_row, keep],
+                                                  axis=-1))
+        row_lo = row_lo.at[ids].set(tot_lo)
+        row_hi = row_hi.at[ids].set(tot_hi)
+
+    return bvh8.replace_table(table)

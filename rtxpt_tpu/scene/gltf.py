@@ -256,8 +256,41 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
 
     host = sb.finish()
     info = dict(cameras=cameras, lights=punctual_lights, gltf=gf,
-                builder=sb)
+                builder=sb, textures=decode_textures(gf))
     return host, info
+
+
+def decode_textures(gf: GltfFile):
+    """Decode glTF texture images with PIL (TextureCache equivalent);
+    returns a list indexed by glTF texture index."""
+    import io
+    from PIL import Image
+    out = []
+    for tex in gf.json.get("textures", []):
+        src = tex.get("source", -1)
+        if src < 0:
+            out.append(np.ones((4, 4, 4), np.float32))
+            continue
+        img = gf.json["images"][src]
+        try:
+            if "bufferView" in img:
+                bv = gf.json["bufferViews"][img["bufferView"]]
+                data = gf.buffer(bv["buffer"])
+                start = bv.get("byteOffset", 0)
+                raw = data[start:start + bv["byteLength"]]
+                im = Image.open(io.BytesIO(raw))
+            else:
+                uri = img.get("uri", "")
+                if uri.startswith("data:"):
+                    raw = base64.b64decode(uri.split(",", 1)[1])
+                    im = Image.open(io.BytesIO(raw))
+                else:
+                    from urllib.parse import unquote
+                    im = Image.open(os.path.join(gf.dir, unquote(uri)))
+            out.append(np.asarray(im.convert("RGBA")))
+        except Exception:
+            out.append(np.ones((4, 4, 4), np.float32))
+    return out
 
 
 def camera_from_info(info: dict, width: int, height: int):
