@@ -61,6 +61,7 @@ class FrameOutputs(NamedTuple):
     diffuse_albedo: jnp.ndarray
     specular_albedo: jnp.ndarray
     emission_bg: jnp.ndarray
+    psr_thp: jnp.ndarray
     reservoir: Reservoir
     gi_reservoir: gi.GIReservoir
     gb_normal: jnp.ndarray
@@ -117,7 +118,7 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
                                   != 0) | (rough > K_SPEC_ROUGH))
 
     active = gb.valid & bs.valid & jnp.any(bs.weight > 0.0, -1)
-    interior = nested.empty(n)
+    interior = gb.interior  # nested stack after the PSR delta chain
     do_int = active & is_trans & ~sd.thin_surface
     interior = jnp.where(
         do_int[..., None],
@@ -190,9 +191,10 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         ind_s = jnp.where((primary_diffuse | ~gb.valid)[..., None], 0.0,
                           plain_ind)
 
-    # ---- background + primary emission
+    # ---- background + primary emission; sky seen through a PSR delta
+    # chain is attenuated by the chain throughput
     env_bg = jnp.where(gb.valid[..., None], 0.0,
-                       EM.eval_dir(assets.env, gb.view_dir))
+                       gb.psr_thp * EM.eval_dir(assets.env, gb.view_dir))
     emission_bg = gb.emission + env_bg
 
     shp = (height, width)
@@ -206,7 +208,7 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         normal=r3(gb.normal), view_z=r1(gb.view_z),
         diffuse_albedo=r3(gb.diffuse_albedo),
         specular_albedo=r3(gb.specular_albedo),
-        emission_bg=r3(emission_bg),
+        emission_bg=r3(emission_bg), psr_thp=r3(gb.psr_thp),
         reservoir=r_feedback, gi_reservoir=gi_feedback,
         gb_normal=gb.normal, gb_view_z=gb.view_z)
 
@@ -275,8 +277,8 @@ class RealtimeRenderer(Renderer):
                 roughness=None, iterations=3)
         else:
             diff_f, spec_f = diff_in, spec_in
-        color = out.emission_bg + diff_f * out.diffuse_albedo + \
-            spec_f * out.specular_albedo
+        color = out.emission_bg + out.psr_thp * (
+            diff_f * out.diffuse_albedo + spec_f * out.specular_albedo)
         if taa:
             color, self.taa_state = taa_mod.resolve(self.taa_state, color,
                                                     out.motion)
