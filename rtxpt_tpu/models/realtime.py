@@ -213,6 +213,30 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         gb_normal=gb.normal, gb_view_z=gb.view_z)
 
 
+def _post_frame(out: FrameOutputs, den_diff, den_spec, taa_state, *,
+                use_den: bool, use_taa: bool):
+    """Stage 2 (post pipeline): demodulate, denoise (ReLAX), compose,
+    TAA. Pure function of (frame outputs, temporal states)."""
+    eps = 1e-3
+    diff_in = (out.di_diffuse + out.indirect_diffuse) / \
+        jnp.maximum(out.diffuse_albedo, eps)
+    spec_in = (out.di_specular + out.indirect_specular) / \
+        jnp.maximum(out.specular_albedo, eps)
+    if use_den:
+        diff_f, den_diff = relax.denoise(den_diff, diff_in, out.normal,
+                                         out.view_z, out.motion)
+        spec_f, den_spec = relax.denoise(den_spec, spec_in, out.normal,
+                                         out.view_z, out.motion,
+                                         roughness=None, iterations=3)
+    else:
+        diff_f, spec_f = diff_in, spec_in
+    color = out.emission_bg + out.psr_thp * (
+        diff_f * out.diffuse_albedo + spec_f * out.specular_albedo)
+    if use_taa:
+        color, taa_state = taa_mod.resolve(taa_state, color, out.motion)
+    return color, den_diff, den_spec, taa_state
+
+
 class RealtimeRenderer(Renderer):
     """Stateful frame-loop driver (DeviceManager::RunMessageLoop +
     Sample::Render equivalents)."""
@@ -233,6 +257,7 @@ class RealtimeRenderer(Renderer):
         self.den_spec = None
         self.taa_state = None
         self._frame_jit = None
+        self._post_jit = {}
 
     def render_frame(self, width: int, height: int,
                      camera: Optional[CameraData] = None,
@@ -264,24 +289,17 @@ class RealtimeRenderer(Renderer):
 
         # ---- stage 2: denoise + compose + TAA (post pipeline)
         use_den = self.cfg.denoiser_enabled if denoise is None else denoise
-        eps = 1e-3
-        diff_in = (out.di_diffuse + out.indirect_diffuse) / \
-            jnp.maximum(out.diffuse_albedo, eps)
-        spec_in = (out.di_specular + out.indirect_specular) / \
-            jnp.maximum(out.specular_albedo, eps)
-        if use_den:
-            diff_f, self.den_diff = relax.denoise(
-                self.den_diff, diff_in, out.normal, out.view_z, out.motion)
-            spec_f, self.den_spec = relax.denoise(
-                self.den_spec, spec_in, out.normal, out.view_z, out.motion,
-                roughness=None, iterations=3)
-        else:
-            diff_f, spec_f = diff_in, spec_in
-        color = out.emission_bg + out.psr_thp * (
-            diff_f * out.diffuse_albedo + spec_f * out.specular_albedo)
-        if taa:
-            color, self.taa_state = taa_mod.resolve(self.taa_state, color,
-                                                    out.motion)
+        # stage 2 fused into one jit (PostProcess + Denoise + TAA): one
+        # device dispatch instead of ~10 (the axon tunnel charges per
+        # dispatch)
+        post_key = (width, height, use_den, taa,
+                    self.den_diff is not None, self.taa_state is not None)
+        if post_key not in self._post_jit:
+            self._post_jit[post_key] = jax.jit(functools.partial(
+                _post_frame, use_den=use_den, use_taa=taa))
+        color, self.den_diff, self.den_spec, self.taa_state = \
+            self._post_jit[post_key](out, self.den_diff, self.den_spec,
+                                     self.taa_state)
 
         # feedback state
         self.prev_cam = cam

@@ -24,9 +24,10 @@ class TAAState(NamedTuple):
 def resolve(state: Optional[TAAState], color, motion,
             blend: float = 0.1) -> tuple:
     """color: (H,W,3) current frame; motion: (H,W,2) px (prev - cur).
-    Returns (resolved, new_state)."""
+    Returns (resolved, new_state). jit-safe: state.valid is a traced
+    flag, so the first-frame passthrough is a select."""
     h, w = color.shape[0], color.shape[1]
-    if state is None or not bool(state.valid):
+    if state is None:
         return color, TAAState(history=color, valid=jnp.asarray(True))
 
     yy, xx = jnp.mgrid[0:h, 0:w]
@@ -48,4 +49,5 @@ def resolve(state: Optional[TAAState], color, motion,
             cmax = jnp.maximum(cmax, s)
     hist = jnp.clip(hist, cmin, cmax)
     out = jnp.where(in_bounds, mu.lerp(hist, color, blend), color)
+    out = jnp.where(state.valid, out, color)
     return out, TAAState(history=out, valid=jnp.asarray(True))
