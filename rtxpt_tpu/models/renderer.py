@@ -103,7 +103,13 @@ class Renderer:
             jitter=jnp.asarray(jit, jnp.float32),
             viewport=jnp.asarray([width, height], jnp.float32))
         consts = C.default_constants(sample_base_index=sample_index)
-        radiance = self._render_jit(self.assets, cam, px, py, consts=consts)
+        assets = self.assets
+        if self.cfg.nee_distant_type == C.NEE_DISTANT_PRESAMPLED:
+            # per-frame presampled env light list (EnvMapImportance-
+            # SamplingBaker presampling; Config.h:86)
+            assets = assets._replace(
+                env_presampled=EM.presample(self.env, sample_index))
+        radiance = self._render_jit(assets, cam, px, py, consts=consts)
         return radiance.reshape(height, width, 3)
 
     def render(self, width: int, height: int, spp: int,
