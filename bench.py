@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WIDTH, HEIGHT = 800, 600
 WARMUP = 1
-ITERS = 2
+ITERS = 8
 TARGET_PATHS_PER_SEC = 1920 * 1080 * 30  # 62.2M (config 5 goal)
 
 
@@ -37,12 +37,12 @@ def main():
                  env_radiance=EM.bake_procedural_sky(height=64))
 
     # NOTE: materialize to host (np.asarray) — on the axon TPU tunnel,
-    # block_until_ready alone does not reliably synchronize.
-    for i in range(WARMUP):
-        np.asarray(r.render_sample(WIDTH, HEIGHT, i))
+    # block_until_ready alone does not reliably synchronize. Samples are
+    # accumulated WITHOUT per-sample sync (the production accumulation
+    # loop pipelines dispatches); one materialization closes the batch.
+    np.asarray(r.render(WIDTH, HEIGHT, 1))          # compile + warm
     t0 = time.time()
-    for i in range(ITERS):
-        np.asarray(r.render_sample(WIDTH, HEIGHT, WARMUP + i))
+    np.asarray(r.render(WIDTH, HEIGHT, ITERS))      # pipelined batch
     dt = (time.time() - t0) / ITERS
 
     paths_per_sec = WIDTH * HEIGHT / dt

@@ -28,6 +28,10 @@ NEE_DISTANT_UNIFORM = 0
 NEE_DISTANT_MIP_DESCENT = 1
 NEE_DISTANT_PRESAMPLED = 2
 
+# NEE local sampler types (SampleUI NEELocalType)
+NEE_LOCAL_POWER = 1
+NEE_LOCAL_REGIR = 2
+
 
 @dataclasses.dataclass(frozen=True)
 class PTConfig:
@@ -39,6 +43,7 @@ class PTConfig:
     nee_distant_type: int = NEE_DISTANT_MIP_DESCENT
     nee_distant_samples: int = 2          # SampleUI.h:149
     nee_local_samples: int = 2            # SampleUI.h:152
+    nee_local_type: int = NEE_LOCAL_POWER
     enable_russian_roulette: bool = True
     use_env_lights: bool = True           # PathTracer.hlsli:22
     use_emissive_lights: bool = True

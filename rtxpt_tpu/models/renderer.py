@@ -104,6 +104,14 @@ class Renderer:
             viewport=jnp.asarray([width, height], jnp.float32))
         consts = C.default_constants(sample_base_index=sample_index)
         assets = self.assets
+        if self.cfg.nee_local_type == C.NEE_LOCAL_REGIR and \
+                self.lights is not None:
+            from ..restir import regir as RG
+            lo = jnp.min(self.scene.positions, axis=0) - 1e-3
+            hi = jnp.max(self.scene.positions, axis=0) + 1e-3
+            assets = assets._replace(regir=RG.build_regir(
+                self.lights, self.scene.positions, self.scene.indices,
+                lo, hi, sample_index))
         if self.cfg.nee_distant_type == C.NEE_DISTANT_PRESAMPLED:
             # per-frame presampled env light list (EnvMapImportance-
             # SamplingBaker presampling; Config.h:86)

@@ -54,6 +54,7 @@ class RenderAssets(NamedTuple):
     env: EM.EnvMap
     lights: Optional[LI.LightTable]
     env_presampled: Optional[EM.PresampledEnv] = None
+    regir: Optional[object] = None  # restir.regir.ReGIRGrid
 
 
 class PathState(NamedTuple):
@@ -360,9 +361,17 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                 else:
                     sample_weight = 1.0 / nee_local
                     g, u3l = rng.next_3d(g)
-                    ls = LI.sample_local_lights(
-                        assets.lights, assets.scene.positions,
-                        assets.scene.indices, sd.pos, u3l)
+                    if cfg.nee_local_type == 2 and \
+                            assets.regir is not None:
+                        from ..restir import regir as RG
+                        ls = RG.sample_regir(
+                            assets.regir, assets.lights,
+                            assets.scene.positions, assets.scene.indices,
+                            sd.pos, u3l[..., :2])
+                    else:
+                        ls = LI.sample_local_lights(
+                            assets.lights, assets.scene.positions,
+                            assets.scene.indices, sd.pos, u3l)
                     light_mis_pdf = jnp.full((n,), LOCAL_PDF_ESTIMATE_K)
                 scatter_pdf_for_dir = B.bsdf_eval_pdf(
                     bsdf, wi_local, sd.to_local(ls.direction))

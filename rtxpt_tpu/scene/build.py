@@ -139,7 +139,13 @@ class SceneBuilder:
             nrm_l.append(n.astype(np.float32))
             tan_l.append(t4.astype(np.float32))
             uv_l.append(uv.astype(np.float32))
-            idx_l.append(m.indices.astype(np.int32) + voffset)
+            inst_idx = m.indices.astype(np.int32)
+            if np.linalg.det(lin) < 0.0:
+                # mirroring transform: flip winding so geometric face
+                # normals stay consistent with the transformed shading
+                # normals (emission sidedness depends on winding)
+                inst_idx = inst_idx[:, ::-1]
+            idx_l.append(inst_idx + voffset)
             mid = (inst.material_override if inst.material_override >= 0
                    else m.material)
             mat_l.append(np.full((m.indices.shape[0],), mid, np.int32))
