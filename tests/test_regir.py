@@ -1,0 +1,61 @@
+"""ReGIR grid: unbiasedness A/B vs power-CDF local sampling, and debug
+view rendering."""
+import numpy as np
+import jax.numpy as jnp
+
+from rtxpt_tpu import config as C
+from rtxpt_tpu.models.renderer import Renderer, reference_config
+from rtxpt_tpu.scene import envmap as EM, procedural
+
+
+def _render(local_type, spp=16):
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(48, 32)
+    env = EM.bake_procedural_sky(height=32, sky_scale=0.05,
+                                 sun_radiance=(2, 2, 2))
+    cfg = reference_config(nee_local_type=local_type, max_bounces=4,
+                           max_diffuse_bounces=3, nee_distant_samples=0,
+                           nee_local_samples=2,
+                           enable_russian_roulette=False)
+    r = Renderer(host, cam, cfg, env_radiance=env)
+    return np.asarray(r.render(48, 32, spp))
+
+
+def test_regir_unbiased_vs_power():
+    a = _render(C.NEE_LOCAL_POWER)
+    b = _render(C.NEE_LOCAL_REGIR)
+    assert a.mean() > 0.05  # the emissive panel lights the scene
+    rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-6)
+    assert rel < 0.1, (a.mean(), b.mean())
+
+
+def test_regir_grid_populated():
+    from rtxpt_tpu.restir import regir as RG
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(32, 24)
+    r = Renderer(host, cam, reference_config(),
+                 env_radiance=EM.bake_procedural_sky(height=32))
+    lo = jnp.min(r.scene.positions, axis=0) - 1e-3
+    hi = jnp.max(r.scene.positions, axis=0) + 1e-3
+    grid = RG.build_regir(r.lights, r.scene.positions, r.scene.indices,
+                          lo, hi, 0)
+    w = np.asarray(grid.w)
+    # most cells see the downward emissive panel
+    assert (w > 0).mean() > 0.3
+
+
+def test_debug_views_render():
+    from rtxpt_tpu.utils import debugviews
+    host = procedural.build_programmer_art().finish()
+    w, h = 32, 24
+    cam = procedural.default_camera(w, h)
+    r = Renderer(host, cam, reference_config(),
+                 env_radiance=EM.bake_procedural_sky(height=32))
+    cam2 = cam._replace(viewport=jnp.asarray([w, h], jnp.float32))
+    for view in ["FirstHitShadingNormal", "FirstHitDiffuse", "ViewZ"]:
+        img = np.asarray(debugviews.render_debug_view(view, r.assets,
+                                                      cam2, w, h))
+        assert img.shape == (h, w, 3)
+        assert np.isfinite(img).all()
+    info = debugviews.inspect_pixel(r.assets, cam2, w, h, w // 2, h // 2)
+    assert info["valid"] and info["prim"] >= 0
