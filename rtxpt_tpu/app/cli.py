@@ -64,6 +64,7 @@ def load_scene(args):
         host, cam_info = gltf.load_gltf(args.scene)
         if cam_info.get("textures"):
             host["texture_images"] = cam_info["textures"]
+            host["texture_srgb"] = cam_info.get("texture_srgb")
         cam = gltf.camera_from_info(cam_info, args.width, args.height)
         extra = dict(analytic_lights=gltf.analytic_lights_from_info(
             cam_info))

@@ -125,12 +125,15 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         nested.handle_intersection(interior, sd.material_id,
                                    sd.nested_priority, sd.front_facing),
         interior)
-    # ReSTIR DI covers primary direct lighting for NON-delta reflections
-    # only: delta lobes evaluate to zero under light sampling, so mirror/
-    # glass paths must keep their BSDF-sampled emission/env contribution
-    # (the reference routes those through dedicated stable planes instead;
+    # ReSTIR DI covers primary direct lighting for ALL non-delta lobes:
+    # di.eval_target evaluates the full split BSDF (reflection AND rough
+    # transmission), so the continuation's emissive/env MIS weight must be
+    # zeroed for every non-delta lobe or rough-transmission paths would
+    # double-count direct light. Delta lobes evaluate to zero under light
+    # sampling, so mirror/glass keep their BSDF-sampled contribution (the
+    # reference routes those through dedicated stable planes instead;
     # PathTracerNEE.hlsli:321-330)
-    restir_covers = jnp.asarray(cfg.use_restir_di) & ~is_trans & ~is_delta
+    restir_covers = jnp.asarray(cfg.use_restir_di) & ~is_delta
     mis0 = jnp.where(restir_covers, 0.0, 1.0)
     cone_spread = jnp.where(
         is_delta, cam.pixel_cone_spread_angle,
@@ -302,6 +305,7 @@ class RealtimeRenderer(Renderer):
                                      self.taa_state)
 
         # feedback state
+        self.last_outputs = out  # debug-view source (ShaderDebug views)
         self.prev_cam = cam
         self.prev_reservoir = out.reservoir
         self.prev_gi = out.gi_reservoir

@@ -63,7 +63,9 @@ class Renderer:
         self.camera = camera
         if textures is None and host_scene.get("texture_images"):
             from ..scene.textures import build_texture_stack
-            textures = build_texture_stack(host_scene["texture_images"])
+            textures = build_texture_stack(
+                host_scene["texture_images"],
+                srgb=host_scene.get("texture_srgb"))
         self.scene = to_device(host_scene, textures=textures)
         self.bvh2 = bvh_mod.build_bvh(host_scene["positions"],
                                       host_scene["indices"],

@@ -392,6 +392,23 @@ def collapse_bvh8(bvh: BVH2, positions, indices,
     levels = tuple(np.where(node_depth == d)[0]
                    for d in range(int(node_depth.max()) + 1))
     refit_info = {"codes": codes_mat, "levels": levels}
+    # Traversal-safety contracts (fail loudly at build time rather than
+    # silently corrupting traversal):
+    #  - worst-case stack growth is 7 pushes per level + the root, and the
+    #    kernels clamp pushes at STACK_DEPTH-1 overwriting the top slot;
+    #  - child codes ride the table as f32 VALUES, exact only to 2^24.
+    max_stack = 7 * len(levels) + 8
+    if max_stack > 48:  # min(Pallas STACK_DEPTH, XLA STACK_DEPTH)
+        raise ValueError(
+            f"BVH8 depth {len(levels)} needs stack {max_stack} > 48; "
+            "increase STACK_DEPTH or leaf_collapse")
+    max_code = max((abs(int(c)) for c in idx_mat.reshape(-1)), default=0)
+    max_leaf_code = (n_nodes + n_leaves) << 5 | LEAF_MAX
+    if max(max_code, max_leaf_code) >= (1 << 24):
+        raise ValueError(
+            f"BVH8 child code {max(max_code, max_leaf_code)} not exactly "
+            "representable in f32 (>= 2^24 rows*32); scene too large for "
+            "the unified table")
     return BVH8(table=jnp.asarray(table),
                 leaf_tris=jnp.asarray(leaf_tris.reshape(-1)),
                 leaf_size=leaf_collapse, num_nodes=n_nodes,

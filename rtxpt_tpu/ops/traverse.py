@@ -253,8 +253,8 @@ def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if hasattr(bvh, "table"):  # unified BVH8
-        if _use_pallas():
-            from . import traverse_pallas as TP
+        from . import traverse_pallas as TP
+        if _use_pallas() and TP.pallas_supported(bvh):
             return TP.trace_closest(bvh, origins, dirs, t_min, t_max,
                                     active)
         t, prim, uv, _ = _trace8(bvh.table, origins, dirs,
@@ -280,8 +280,8 @@ def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if hasattr(bvh, "table"):  # unified BVH8
-        if _use_pallas():
-            from . import traverse_pallas as TP
+        from . import traverse_pallas as TP
+        if _use_pallas() and TP.pallas_supported(bvh):
             return TP.trace_anyhit(bvh, origins, dirs, t_min, t_max,
                                    active)
         _, prim, _, _ = _trace8(bvh.table, origins, dirs,

@@ -170,8 +170,7 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
             jnp.cross(p1 - p0, p2 - p0), axis=-1)
         if cone_width is not None:
             cos_t = jnp.sum(face_n * v, axis=-1)
-            lod = TX.ray_cone_lod(cone_width, cos_t, uv_area, world_area,
-                                  scene.textures.mips[0].shape[1])
+            lod = TX.ray_cone_lod(cone_width, cos_t, uv_area, world_area)
         else:
             lod = None
         base_tap = TX.sample_stack(scene.textures, m.base_tex[mid], uv,

@@ -50,45 +50,14 @@ def eval_target(assets, gb: GBuffer, light, uv):
     is_env = light == LIGHT_ENV
     is_local = light >= 0
 
-    # --- local (triangle/point/dir) light sample at fixed uv
+    # --- local light sample at fixed uv (all polymorphic kinds:
+    # triangle/sphere area samples, point/directional delta)
     if lt is not None:
         li_idx = jnp.maximum(light, 0)
-        tri = assets.scene.indices[jnp.maximum(lt.tri[li_idx], 0)]
-        p0 = assets.scene.positions[tri[..., 0]]
-        p1 = assets.scene.positions[tri[..., 1]]
-        p2 = assets.scene.positions[tri[..., 2]]
-        bary = mu.sample_triangle_uniform(uv)
-        lp = (bary[..., 0:1] * p0 + bary[..., 1:2] * p1
-              + bary[..., 2:3] * p2)
-        fn = jnp.cross(p1 - p0, p2 - p0)
-        fn_n = mu.safe_normalize(fn)
-        to_l = lp - sd.pos
-        dist_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-9)
-        dist_l = jnp.sqrt(dist_sq)
-        dir_l = to_l / dist_l[..., None]
-        cos_l = jnp.sum(fn_n * (-dir_l), -1)
-        # area-measure target: radiance * G, G = cos_l / dist^2 (the
-        # candidate source pdf is pick_pdf / area in the same measure)
-        li_local = lt.radiance[li_idx] * (jnp.maximum(cos_l, 0.0)
-                                          / dist_sq)[..., None]
-        # point/directional kinds
-        kind = lt.kind[li_idx]
-        pl = lt.position[li_idx]
-        to_p = pl - sd.pos
-        dp_sq = jnp.maximum(jnp.sum(to_p * to_p, -1), 1e-9)
-        dir_p = to_p / jnp.sqrt(dp_sq)[..., None]
-        li_point = lt.radiance[li_idx] / dp_sq[..., None]
-        dir_d = -mu.safe_normalize(pl)
-        is_tri = kind == LI.LIGHT_TRIANGLE
-        is_pt = kind == LI.LIGHT_POINT
-        dir_local = jnp.where(is_tri[..., None], dir_l,
-                              jnp.where(is_pt[..., None], dir_p, dir_d))
-        dist_local = jnp.where(is_tri, dist_l,
-                               jnp.where(is_pt, jnp.sqrt(dp_sq),
-                                         mu.K_MAX_RAY_TRAVEL))
-        li_v = jnp.where(is_tri[..., None], li_local,
-                         jnp.where(is_pt[..., None], li_point,
-                                   lt.radiance[li_idx]))
+        dir_local, dist_local, li_v, _, l_ok = LI.eval_sample_at(
+            lt, assets.scene.positions, assets.scene.indices, li_idx, uv,
+            sd.pos)
+        li_v = jnp.where(l_ok[..., None], li_v, 0.0)
     else:
         n = light.shape[0]
         dir_local = jnp.zeros((n, 3))
@@ -131,17 +100,22 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
                           lt.count - 1).astype(jnp.int32)
         pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
         uv = u3[..., 1:3]
-        # source pdf in the same measure as eval_target's Li (area-free:
-        # Li folded G and 1/area via radiance*cos/dist2 * area)
+        # area-measure source pdf (uniform over the picked light's area;
+        # delta kinds use the selection pdf alone) — matches the measure
+        # of eval_target's li (lights.eval_sample_at contract)
         tri = assets.scene.indices[jnp.maximum(lt.tri[li_idx], 0)]
         p0 = assets.scene.positions[tri[..., 0]]
         p1 = assets.scene.positions[tri[..., 1]]
         p2 = assets.scene.positions[tri[..., 2]]
         area = 0.5 * jnp.linalg.norm(jnp.cross(p1 - p0, p2 - p0), axis=-1)
-        # area-measure source pdf (uniform over the picked triangle)
-        is_tri = lt.kind[li_idx] == LI.LIGHT_TRIANGLE
-        src_pdf = jnp.where(is_tri, pick_pdf / jnp.maximum(area, 1e-9),
-                            pick_pdf)
+        kind = lt.kind[li_idx]
+        r_s = lt.radius[li_idx]
+        inv_area = jnp.where(
+            kind == LI.LIGHT_TRIANGLE, 1.0 / jnp.maximum(area, 1e-9),
+            jnp.where(kind == LI.LIGHT_SPHERE,
+                      1.0 / jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9),
+                      1.0))
+        src_pdf = pick_pdf * inv_area
         p_hat, _, _, _, _ = eval_target(assets, gb, li_idx, uv)
         w = jnp.where(src_pdf > 0, p_hat / jnp.maximum(src_pdf, 1e-20),
                       0.0)

@@ -82,29 +82,13 @@ def build_regir(lt: LI.LightTable, scene_positions, scene_indices,
                           lt.count - 1).astype(jnp.int32)
         pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
         uv = u3[..., 1:3]
-        # target: unshadowed radiance * G at the cell point (area measure)
-        tri = scene_indices[jnp.maximum(lt.tri[li_idx], 0)]
-        p0 = scene_positions[tri[..., 0]]
-        p1 = scene_positions[tri[..., 1]]
-        p2 = scene_positions[tri[..., 2]]
-        bary = mu.sample_triangle_uniform(uv)
-        lp = (bary[..., 0:1] * p0 + bary[..., 1:2] * p1
-              + bary[..., 2:3] * p2)
-        fn = jnp.cross(p1 - p0, p2 - p0)
-        area2 = jnp.linalg.norm(fn, axis=-1)
-        to_l = lp - pos
-        dist_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-6)
-        cos_l = jnp.sum(mu.safe_normalize(fn) *
-                        (-to_l / jnp.sqrt(dist_sq)[..., None]), -1)
-        is_tri = lt.kind[li_idx] == LI.LIGHT_TRIANGLE
-        target = jnp.where(
-            is_tri,
-            mu.luminance(lt.radiance[li_idx]) * jnp.maximum(cos_l, 0.0)
-            / dist_sq,
-            mu.luminance(lt.radiance[li_idx]))
-        src_pdf = jnp.where(is_tri,
-                            pick_pdf / jnp.maximum(0.5 * area2, 1e-9),
-                            pick_pdf)
+        # target: unshadowed incident radiance at the cell point, with the
+        # correct per-kind geometric falloff (point lights carry 1/d^2,
+        # area lights cos/d^2; lights.eval_sample_at measure contract)
+        _, _, li_eff, inv_area, l_ok = LI.eval_sample_at(
+            lt, scene_positions, scene_indices, li_idx, uv, pos)
+        target = jnp.where(l_ok, mu.luminance(li_eff), 0.0)
+        src_pdf = pick_pdf * inv_area
         wi = jnp.where(src_pdf > 0, target / jnp.maximum(src_pdf, 1e-20),
                        0.0)
         w_sum = w_sum + wi
@@ -138,30 +122,21 @@ def sample_regir(grid: ReGIRGrid, lt: LI.LightTable, scene_positions,
     uv = grid.uv[lane]
     w = grid.w[lane]
 
-    tri = scene_indices[jnp.maximum(lt.tri[jnp.maximum(li_idx, 0)], 0)]
-    p0 = scene_positions[tri[..., 0]]
-    p1 = scene_positions[tri[..., 1]]
-    p2 = scene_positions[tri[..., 2]]
-    bary = mu.sample_triangle_uniform(uv)
-    lp = bary[..., 0:1] * p0 + bary[..., 1:2] * p1 + bary[..., 2:3] * p2
-    fn = jnp.cross(p1 - p0, p2 - p0)
-    fn_n = mu.safe_normalize(fn)
-    to_l = lp - shading_pos
-    dist_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-9)
-    dist = jnp.sqrt(dist_sq)
-    direction = to_l / dist[..., None]
-    cos_l = jnp.sum(fn_n * (-direction), -1)
     kidx = jnp.maximum(li_idx, 0)
-    is_tri = lt.kind[kidx] == LI.LIGHT_TRIANGLE
-    # radiance * G * W  (W plays 1/pdf_area; G converts to the surface)
-    li_tri = lt.radiance[kidx] * (jnp.maximum(cos_l, 0.0)
-                                  / dist_sq * w)[..., None]
-    li_other = lt.radiance[kidx] * w[..., None]
-    li = jnp.where(is_tri[..., None], li_tri, li_other)
-    valid = (li_idx >= 0) & (w > 0.0) & \
-        jnp.where(is_tri, cos_l > 1e-6, True)
-    # pdf for firefly heuristics: ~1/W in solid angle terms
-    pdf = jnp.where(w > 0, dist_sq / jnp.maximum(
-        w * jnp.maximum(cos_l, 1e-4), 1e-20), 0.0)
+    # per-kind direction/distance/falloff (triangle/sphere area samples,
+    # point 1/d^2, directional fixed-direction) — the round-1 version
+    # routed every kind through the triangle path, mislighting analytic
+    # lights stored in the grid
+    direction, dist, li_eff, _, l_ok = LI.eval_sample_at(
+        lt, scene_positions, scene_indices, kidx, uv, shading_pos)
+    # li_eff * W  (W plays 1/pdf in the build's area measure)
+    li = li_eff * w[..., None]
+    valid = (li_idx >= 0) & (w > 0.0) & l_ok
+    # pdf for firefly heuristics: ~1/W converted to solid-angle-ish terms
+    kind = lt.kind[kidx]
+    is_delta = (kind == LI.LIGHT_POINT) | (kind == LI.LIGHT_DIRECTIONAL)
+    pdf = jnp.where(w > 0,
+                    jnp.where(is_delta, 1.0, dist * dist)
+                    / jnp.maximum(w, 1e-20), 0.0)
     return LI.LightSample(direction=direction, distance=dist, li=li,
                           pdf=pdf, valid=valid)

@@ -255,8 +255,20 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
         visit(root, ident)
 
     host = sb.finish()
+    # per-texture colorspace: only baseColor/emissive sources are sRGB;
+    # normal/metal-rough/transmission are linear DATA maps (donut
+    # GltfImporter texture usage flags)
+    n_tex = len(g.get("textures", []))
+    srgb = [False] * n_tex
+    for m in g.get("materials", []):
+        pbr = m.get("pbrMetallicRoughness", {})
+        for ti in (pbr.get("baseColorTexture", {}).get("index", -1),
+                   m.get("emissiveTexture", {}).get("index", -1)):
+            if 0 <= ti < n_tex:
+                srgb[ti] = True
     info = dict(cameras=cameras, lights=punctual_lights, gltf=gf,
-                builder=sb, textures=decode_textures(gf))
+                builder=sb, textures=decode_textures(gf),
+                texture_srgb=srgb)
     return host, info
 
 

@@ -120,6 +120,83 @@ class LightSample(NamedTuple):
     valid: jnp.ndarray       # (N,)
 
 
+def _sphere_point(lt: LightTable, li_idx, uv):
+    """Uniform point on the sphere surface from a 2D sample (receiver-
+    independent, so (light, uv) pairs are reusable across pixels like
+    RTXDI reservoir samples). Returns (point, outward normal)."""
+    z = 1.0 - 2.0 * uv[..., 0]
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * uv[..., 1]
+    n_s = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], -1)
+    c = lt.position[li_idx]
+    r = lt.radius[li_idx]
+    return c + r[..., None] * n_s, n_s
+
+
+def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
+                   li_idx, uv, shading_pos):
+    """Re-evaluate a polymorphic light sample (light index + 2D uv) at a
+    shading point (PolymorphicLight.hlsli calcSample re-evaluation, used
+    by ReSTIR target functions and ReGIR).
+
+    Measure contract: for area lights (triangle/sphere) `li` is
+    radiance * cos_l / dist^2 — the solid-angle-measure incident radiance
+    of an area-measure sample — and `inv_area` is 1/area so that
+    src_pdf = pick_pdf * inv_area lives in the matching area measure; for
+    delta lights (point: intensity/dist^2, directional: radiance)
+    inv_area = 1. Returns (direction, distance, li, inv_area, valid)."""
+    kind = lt.kind[li_idx]
+    rad = lt.radiance[li_idx]
+
+    # --- triangle
+    tri = scene_indices[jnp.maximum(lt.tri[li_idx], 0)]
+    p0 = scene_positions[tri[..., 0]]
+    p1 = scene_positions[tri[..., 1]]
+    p2 = scene_positions[tri[..., 2]]
+    bary = mu.sample_triangle_uniform(uv)
+    lp_t = bary[..., 0:1] * p0 + bary[..., 1:2] * p1 + bary[..., 2:3] * p2
+    fn = jnp.cross(p1 - p0, p2 - p0)
+    area2 = jnp.linalg.norm(fn, axis=-1)
+    n_t = mu.safe_normalize(fn)
+
+    # --- sphere (uniform area sample; fixed surface point)
+    lp_s, n_s = _sphere_point(lt, li_idx, uv)
+    r_s = lt.radius[li_idx]
+
+    is_tri = kind == LIGHT_TRIANGLE
+    is_sph = kind == LIGHT_SPHERE
+    is_pt = kind == LIGHT_POINT
+    is_area = is_tri | is_sph
+
+    lp = jnp.where(is_tri[..., None], lp_t,
+                   jnp.where(is_sph[..., None], lp_s,
+                             lt.position[li_idx]))
+    nrm = jnp.where(is_tri[..., None], n_t, n_s)
+
+    to_l = lp - shading_pos
+    dist_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-9)
+    dist = jnp.sqrt(dist_sq)
+    dir_l = to_l / dist[..., None]
+    cos_l = jnp.sum(nrm * (-dir_l), -1)
+
+    dir_d = -mu.safe_normalize(lt.position[li_idx])
+    direction = jnp.where(is_area[..., None] | is_pt[..., None], dir_l,
+                          dir_d)
+    distance = jnp.where(is_area | is_pt, dist, mu.K_MAX_RAY_TRAVEL)
+
+    li_area = rad * (jnp.maximum(cos_l, 0.0) / dist_sq)[..., None]
+    li_point = rad / dist_sq[..., None]
+    li = jnp.where(is_area[..., None], li_area,
+                   jnp.where(is_pt[..., None], li_point, rad))
+
+    inv_area = jnp.where(
+        is_tri, 1.0 / jnp.maximum(0.5 * area2, 1e-9),
+        jnp.where(is_sph,
+                  1.0 / jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9), 1.0))
+    valid = jnp.where(is_area, cos_l > 1e-6, True)
+    return direction, distance, li, inv_area, valid
+
+
 def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
                         shading_pos, u3) -> LightSample:
     """Power-weighted light pick + per-light solid-angle sample
@@ -162,27 +239,50 @@ def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
     dist_p = jnp.sqrt(dist_p_sq)
     dir_p = to_p / dist_p[..., None]
 
+    # --- sphere: uniform area sample over the surface (PolymorphicLight
+    # sphere calcSample; area measure keeps (light, uv) reservoir samples
+    # receiver-independent)
+    lp_s, n_s = _sphere_point(lt, li_idx, u3[..., 1:3])
+    r_s = lt.radius[li_idx]
+    to_s = lp_s - shading_pos
+    dist_s_sq = jnp.maximum(jnp.sum(to_s * to_s, axis=-1), 1e-12)
+    dist_s = jnp.sqrt(dist_s_sq)
+    dir_s = to_s / dist_s[..., None]
+    cos_s = jnp.sum(n_s * (-dir_s), axis=-1)
+    area_s = jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9)
+    pdf_sph = dist_s_sq / jnp.maximum(cos_s * area_s, 1e-12)
+    sph_visible = cos_s > 1e-6
+
     # --- directional: fixed direction, infinite distance
     dir_d = -mu.safe_normalize(lt.position[li_idx])
 
     is_tri = kind == LIGHT_TRIANGLE
+    is_sph = kind == LIGHT_SPHERE
     is_pt = kind == LIGHT_POINT
     is_dir = kind == LIGHT_DIRECTIONAL
 
-    direction = jnp.where(is_tri[..., None], dir_,
-                          jnp.where(is_pt[..., None], dir_p, dir_d))
-    distance = jnp.where(is_tri, dist,
-                         jnp.where(is_pt, dist_p, mu.K_MAX_RAY_TRAVEL))
+    direction = jnp.where(
+        is_tri[..., None], dir_,
+        jnp.where(is_sph[..., None], dir_s,
+                  jnp.where(is_pt[..., None], dir_p, dir_d)))
+    distance = jnp.where(
+        is_tri, dist,
+        jnp.where(is_sph, dist_s,
+                  jnp.where(is_pt, dist_p, mu.K_MAX_RAY_TRAVEL)))
     # pdf in solid angle; point/dir are delta lights -> encode pdf as the
     # selection pdf only and fold the geometric term into li
-    pdf = jnp.where(is_tri, pdf_tri * pick_pdf, pick_pdf)
+    pdf = jnp.where(is_tri, pdf_tri * pick_pdf,
+                    jnp.where(is_sph, pdf_sph * pick_pdf, pick_pdf))
     li = jnp.where(
-        is_tri[..., None], tri_rad / jnp.maximum(pdf, 1e-20)[..., None],
+        is_tri[..., None] | is_sph[..., None],
+        lt.radiance[li_idx] / jnp.maximum(pdf, 1e-20)[..., None],
         jnp.where(is_pt[..., None],
                   lt.radiance[li_idx] / dist_p_sq[..., None]
                   / jnp.maximum(pick_pdf, 1e-20)[..., None],
                   lt.radiance[li_idx]
                   / jnp.maximum(pick_pdf, 1e-20)[..., None]))
-    valid = jnp.where(is_tri, tri_visible, is_pt | is_dir) & (lt.count > 0)
+    valid = jnp.where(is_tri, tri_visible,
+                      jnp.where(is_sph, sph_visible, is_pt | is_dir)) \
+        & (lt.count > 0)
     return LightSample(direction=direction, distance=distance, li=li,
                        pdf=pdf, valid=valid)

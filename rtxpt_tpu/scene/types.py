@@ -53,15 +53,14 @@ class MaterialTable(NamedTuple):
 
 
 class TextureStack(NamedTuple):
-    """All scene textures resampled into one (K, TH, TW, 4) array (mip 0)
-    plus a mip pyramid, so texture fetch is a single gather per tap.
-    Mirrors the bindless texture table (t_BindlessTextures)."""
-    mips: tuple                        # tuple of (K, H>>l, W>>l, 4) arrays
-    sizes: jnp.ndarray                 # (K, 2) true (w, h) before padding
-
-    @property
-    def num_levels(self) -> int:
-        return len(self.mips)
+    """All mips of all scene textures packed into one flat (P, 4) f32
+    texel pool, with per-texture (offset, size) tables — every texture
+    keeps its own power-of-two resolution and a trilinear tap is 8 row
+    gathers. Mirrors the bindless texture table (t_BindlessTextures)."""
+    pool: jnp.ndarray                  # (P, 4) f32 texels
+    mip_offset: jnp.ndarray            # (K, L) i32 flat offset of mip l
+    mip_size: jnp.ndarray              # (K, L) i32 edge size of mip l
+    n_mips: jnp.ndarray                # (K,) i32 mip count per texture
 
 
 class SceneArrays(NamedTuple):

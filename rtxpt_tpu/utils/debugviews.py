@@ -31,10 +31,33 @@ def _normalize01(x):
     return (x - lo) / jnp.maximum(hi - lo, 1e-9)
 
 
-def render_debug_view(view: str, assets, cam, width: int, height: int):
-    """Render one debug channel of the primary surface to (H,W,3)."""
+def render_debug_view(view: str, assets, cam, width: int, height: int,
+                      frame_outputs=None):
+    """Render one debug channel of the primary surface to (H,W,3).
+
+    Pipeline-output views (Denoiser*/ReSTIR*) read from `frame_outputs`
+    (a models.realtime.FrameOutputs, e.g. RealtimeRenderer.last_outputs);
+    surface views retrace the G-buffer."""
     import jax
     from ..pt import gbuffer as GB
+    shp2 = (height, width)
+    if view in ("DenoiserDiffRadiance", "DenoiserSpecRadiance",
+                "ReSTIRDIOutput", "ReSTIRGIOutput"):
+        if frame_outputs is None:
+            raise ValueError(
+                f"debug view {view} needs frame_outputs (render a "
+                "realtime frame first; RealtimeRenderer.last_outputs)")
+        fo = frame_outputs
+        if view == "DenoiserDiffRadiance":
+            out = fo.di_diffuse + fo.indirect_diffuse
+        elif view == "DenoiserSpecRadiance":
+            out = fo.di_specular + fo.indirect_specular
+        elif view == "ReSTIRDIOutput":
+            out = fo.di_diffuse + fo.di_specular
+        else:  # ReSTIRGIOutput
+            out = fo.indirect_diffuse + fo.indirect_specular
+        out = out.reshape(shp2 + (3,))
+        return jnp.clip(out / (1.0 + out), 0.0, 1.0)  # reinhard for viz
     yy, xx = np.mgrid[0:height, 0:width]
     px = jnp.asarray(xx.reshape(-1).astype(np.uint32))
     py = jnp.asarray(yy.reshape(-1).astype(np.uint32))
@@ -58,6 +81,9 @@ def render_debug_view(view: str, assets, cam, width: int, height: int):
         out = gb.specular_albedo
     elif view == "FirstHitRoughness":
         out = jnp.tile(gb.roughness[..., None], (1, 3))
+    elif view == "FirstHitMetallic":
+        out = jnp.tile(
+            gb.surface.bsdf_data.metallic[..., None], (1, 3))
     elif view == "FirstHitEmissive":
         out = gb.emission
     elif view in ("ViewZ", "Depth"):

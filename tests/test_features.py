@@ -97,3 +97,70 @@ def test_realtime_renderer_stable_and_finite():
         means.append(img.mean())
     # temporal stability: no geometric blow-up
     assert means[-1] < means[0] * 2.0 + 0.5
+
+
+def test_sphere_light_renders_and_matches_point_far_field():
+    """Sphere analytic lights must be sampled (round-1 bug: LIGHT_SPHERE
+    was never valid in sample_local_lights). Far-field check: a sphere of
+    radius r with surface radiance L illuminates like a point light with
+    intensity L*pi*r^2 (PolymorphicLight.hlsli sphere vs point)."""
+    from rtxpt_tpu.models.renderer import Renderer, reference_config
+    from rtxpt_tpu.scene import lights as LI
+
+    host = procedural.build_programmer_art(
+        diffuse_only=True, with_emissive=False).finish()
+    cam = procedural.default_camera(40, 30)
+    cfg = reference_config(use_env_lights=False, max_bounces=2,
+                           max_diffuse_bounces=2, nee_distant_samples=0,
+                           nee_local_samples=2,
+                           enable_russian_roulette=False)
+    L, r = 400.0, 0.12
+    sphere = [{"kind": LI.LIGHT_SPHERE, "position": (0.0, 3.0, 0.0),
+               "radius": r, "radiance": (L, L, L)}]
+    eq = L * np.pi * r * r
+    point = [{"kind": LI.LIGHT_POINT, "position": (0.0, 3.0, 0.0),
+              "radiance": (eq, eq, eq)}]
+    img_s = np.asarray(Renderer(host, cam, cfg,
+                                analytic_lights=sphere).render(40, 30, 8))
+    img_p = np.asarray(Renderer(host, cam, cfg,
+                                analytic_lights=point).render(40, 30, 8))
+    assert img_s.mean() > 0.01, "sphere light produced a black image"
+    rel = abs(img_s.mean() - img_p.mean()) / img_p.mean()
+    assert rel < 0.15, (img_s.mean(), img_p.mean())
+
+
+def test_data_textures_not_srgb_decoded():
+    """Normal/metal-rough maps are linear data: a uint8 128 texel must
+    decode to ~0.502, not 0.5^2.2 (round-1 bug applied sRGB to every
+    uint8 texture)."""
+    nm = np.full((8, 8, 4), 128, np.uint8)
+    stack = TX.build_texture_stack([nm], srgb=[False])
+    out = np.asarray(TX.sample_stack(stack, jnp.asarray([0], jnp.int32),
+                                     jnp.asarray([[0.5, 0.5]])))
+    np.testing.assert_allclose(out[0, :3], 128 / 255.0, atol=0.01)
+    # sRGB color map decodes through the 2.2 curve
+    stack_c = TX.build_texture_stack([nm], srgb=[True])
+    out_c = np.asarray(TX.sample_stack(stack_c, jnp.asarray([0], jnp.int32),
+                                       jnp.asarray([[0.5, 0.5]])))
+    np.testing.assert_allclose(out_c[0, :3], (128 / 255.0) ** 2.2,
+                               atol=0.01)
+
+
+def test_texture_native_sizes_and_trilinear():
+    """Textures keep their own pow2 resolution (no 256^2 cap) and lod
+    blends between adjacent mips."""
+    big = np.zeros((64, 64, 4), np.float32)
+    big[::2, :] = 1.0  # horizontal stripes: mip0 striped, mip1+ = 0.5
+    small = np.full((4, 4, 4), 1.0, np.float32)
+    stack = TX.build_texture_stack([big, small], srgb=[False, False])
+    assert int(stack.mip_size[0, 0]) == 64
+    assert int(stack.mip_size[1, 0]) == 4
+    tex = jnp.asarray([0], jnp.int32)
+    uv = jnp.asarray([[0.25, 16.5 / 64.0]])  # texel-center row
+    # lod is UV-space log2 footprint; -6 -> mip0 (64px), 0 -> 1x1 mip
+    lod_fine = jnp.asarray([-10.0])
+    lod_coarse = jnp.asarray([0.0])
+    f = np.asarray(TX.sample_stack(stack, tex, uv, lod_fine))[0, 0]
+    c = np.asarray(TX.sample_stack(stack, tex, uv, lod_coarse))[0, 0]
+    assert abs(c - 0.5) < 0.05, c          # fully averaged at the top
+    assert abs(f - 0.5) > 0.4, f  # mip0 sees a solid stripe row

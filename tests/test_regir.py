@@ -52,10 +52,14 @@ def test_debug_views_render():
     r = Renderer(host, cam, reference_config(),
                  env_radiance=EM.bake_procedural_sky(height=32))
     cam2 = cam._replace(viewport=jnp.asarray([w, h], jnp.float32))
-    for view in ["FirstHitShadingNormal", "FirstHitDiffuse", "ViewZ"]:
-        img = np.asarray(debugviews.render_debug_view(view, r.assets,
-                                                      cam2, w, h))
-        assert img.shape == (h, w, 3)
-        assert np.isfinite(img).all()
+    from rtxpt_tpu.models.realtime import RealtimeRenderer
+    rt = RealtimeRenderer(host, cam)
+    rt.render_frame(w, h)
+    for view in debugviews.VIEWS:  # every advertised view must render
+        img = np.asarray(debugviews.render_debug_view(
+            view, r.assets, cam2, w, h,
+            frame_outputs=rt.last_outputs))
+        assert img.shape == (h, w, 3), view
+        assert np.isfinite(img).all(), view
     info = debugviews.inspect_pixel(r.assets, cam2, w, h, w // 2, h // 2)
     assert info["valid"] and info["prim"] >= 0
