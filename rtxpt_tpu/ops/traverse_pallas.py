@@ -9,9 +9,15 @@ The RT-core replacement, designed from measured TPU behavior:
   * Data is laid out component-wise: the gather result is (width, TILE),
     so extracting "field j of every lane's row" is a cheap sublane slice;
     rays are passed transposed (3, N). No cross-lane shuffles anywhere.
-  * The per-lane traversal stack is a (TILE, STACK_DEPTH) carry; push/pop
-    are masked elementwise column selects (iota == slot) - Mosaic needs no
+  * The per-lane traversal stack is a (STACK_DEPTH, TILE) carry — slots on
+    SUBLANES, rays on lanes, so every masked push/pop select runs on fully
+    packed (8,128) native tiles (the round-1 (TILE, STACK_DEPTH) layout
+    left 80/128 lanes idle; measured ~10us/iter saved). Push/pop are
+    masked elementwise row selects (iota == slot) — Mosaic needs no
     scatter/gather support.
+  * The while_loop re-checks its cross-lane cond every COND_EVERY bodies:
+    a wasted masked iteration is cheaper than the cond's vector->scalar
+    sync (measured on v5e).
   * Leaf rows inline up to leaf_size triangles; a leaf pop is leaf_size
     unrolled Moller-Trumbore tests, each pure VPU math on (TILE,) lanes.
 
@@ -36,6 +42,7 @@ from .intersect import Hit
 TILE = 1024
 STACK_DEPTH = 48
 MAX_ITERS = 100_000
+COND_EVERY = 2   # traversal bodies per while-cond check
 # MXU-gather budget: rows beyond this make onehot matmuls too expensive
 _MAX_ROWS = 4096
 
@@ -104,19 +111,19 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
         t_min = jnp.float32(0.0)
         act = act_ref[0] != 0
 
-        stack_cols = jax.lax.broadcasted_iota(jnp.int32,
-                                              (TILE, STACK_DEPTH), 1)
+        slot_rows = jax.lax.broadcasted_iota(jnp.int32,
+                                             (STACK_DEPTH, TILE), 0)
 
         def cond(carry):
             _, sp, _, _, _, _, it = carry
             return jnp.any(sp > 0) & (it < MAX_ITERS)
 
-        def body(carry):
+        def step(carry):
             stack, sp, best_t, best_prim, best_u, best_v, it = carry
             has = sp > 0
-            top_col = jnp.maximum(sp - 1, 0)
-            top = jnp.sum(jnp.where(stack_cols == top_col[:, None], stack,
-                                    0), axis=1)
+            top_row = jnp.maximum(sp - 1, 0)
+            top = jnp.sum(jnp.where(slot_rows == top_row[None, :], stack,
+                                    0), axis=0)
             sp = jnp.where(has, sp - 1, sp)
             is_leaf = top < 0
             do_node = has & ~is_leaf
@@ -131,7 +138,8 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (rows, TILE), 0)
                       == fetch[None, :]).astype(jnp.float32)
             # HIGHEST precision: default TPU matmul rounds to bf16,
-            # which corrupts geometry and child codes
+            # which corrupts geometry and child codes (and is NOT faster
+            # here — the iteration is VPU/overhead-bound, measured)
             row = jnp.dot(tab_t, onehot,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -157,11 +165,11 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
             off = jnp.zeros((TILE,), jnp.int32)
             for k in range(8):
                 valid = ts[k] > -jnp.inf
-                # invalid lanes write to slot -1, which no column matches
+                # invalid lanes write to slot -1, which no row matches
                 slot = jnp.where(valid,
                                  jnp.minimum(sp + off, STACK_DEPTH - 1), -1)
-                wmask = stack_cols == slot[:, None]
-                stack = jnp.where(wmask, cs[k][:, None], stack)
+                wmask = slot_rows == slot[None, :]
+                stack = jnp.where(wmask, cs[k][None, :], stack)
                 off = off + valid.astype(jnp.int32)
             sp = sp + off
 
@@ -180,7 +188,12 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
                 sp = jnp.where(best_prim >= 0, 0, sp)
             return (stack, sp, best_t, best_prim, best_u, best_v, it + 1)
 
-        init = (jnp.zeros((TILE, STACK_DEPTH), jnp.int32),
+        def body(carry):
+            for _ in range(COND_EVERY):
+                carry = step(carry)
+            return carry
+
+        init = (jnp.zeros((STACK_DEPTH, TILE), jnp.int32),
                 jnp.where(act, 1, 0).astype(jnp.int32),
                 tmax_ref[0],
                 jnp.full((TILE,), -1, jnp.int32),

@@ -173,7 +173,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                         + jnp.uint32(sub_sample_index))
 
     def body(carry):
-        path, it, first = carry
+        path, it, first, _ = carry
         hit = traverse.trace_closest(
             assets.bvh, assets.soup, path.origin, path.direction,
             t_min=0.0, t_max=mu.K_MAX_RAY_TRAVEL, active=path.active,
@@ -443,20 +443,37 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             cone_width=path.cone_width, cone_spread=cone_spread,
             interior=interior, emissive_mis=emissive_mis, env_mis=env_mis,
             px=path.px, py=path.py)
-        return (new_path, it + 1, first)
+
+        # --- wavefront stream compaction (the SER equivalent, SURVEY
+        # section 2.7): stable-partition live paths to the FRONT of the
+        # wavefront so traversal tiles whose lanes are all dead exit
+        # their while_loop immediately. Pixel order is restored at the
+        # end via `lane0` (original lane ids ride the permutation).
+        # Cost: one bool argsort + a ~34-array gather (~0.3 ms at 480k
+        # lanes) vs trace cost proportional to live-lane tiles.
+        perm = jnp.argsort(~active, stable=True)
+        new_path = jax.tree_util.tree_map(lambda a: a[perm], new_path)
+        first = jax.tree_util.tree_map(lambda a: a[perm], first)
+        lane0 = carry[3][perm]
+        return (new_path, it + 1, first, lane0)
 
     def cond(carry):
-        path, it, _ = carry
+        path, it = carry[0], carry[1]
         return jnp.any(path.active) & (it < max_iters)
 
     first0 = (jnp.zeros((n, 3), jnp.float32),
               jnp.zeros((n, 3), jnp.float32),
               jnp.zeros((n,), bool))
-    path, _, first = jax.lax.while_loop(
-        cond, body, (path0, jnp.asarray(0, jnp.int32), first0))
+    lane0 = jnp.arange(n, dtype=jnp.int32)
+    path, _, first, lane0 = jax.lax.while_loop(
+        cond, body, (path0, jnp.asarray(0, jnp.int32), first0, lane0))
+    # un-permute back to caller lane order
+    radiance = jnp.zeros((n, 3), jnp.float32).at[lane0].set(path.radiance)
     if capture_first_hit:
-        return path.radiance, first
-    return path.radiance
+        first_out = tuple(
+            jnp.zeros_like(a).at[lane0].set(a) for a in first)
+        return radiance, first_out
+    return radiance
 
 
 def will_scatter_nee(shade, finished, rr_kill):

@@ -1,5 +1,6 @@
 """BVH build + traversal vs brute-force oracle."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtxpt_tpu.ops import bvh as bvh_mod
@@ -62,6 +63,7 @@ def test_active_mask():
     assert (np.asarray(h.prim)[~np.asarray(active)] == -1).all()
 
 
+@pytest.mark.slow
 def test_refit_matches_rebuild():
     sc = _scene()
     pos = np.asarray(sc.positions)

@@ -1,5 +1,6 @@
 """Textures, alpha test, animation/refit, lights, envmap IS, realtime."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtxpt_tpu.scene import animation, envmap as EM, procedural
@@ -83,6 +84,7 @@ def test_keyframe_sampling():
     assert abs(q[1] - np.sin(np.pi / 8)) < 1e-4
 
 
+@pytest.mark.slow
 def test_realtime_renderer_stable_and_finite():
     from rtxpt_tpu.models.realtime import RealtimeRenderer
     host = procedural.build_programmer_art().finish()
@@ -99,6 +101,7 @@ def test_realtime_renderer_stable_and_finite():
     assert means[-1] < means[0] * 2.0 + 0.5
 
 
+@pytest.mark.slow
 def test_sphere_light_renders_and_matches_point_far_field():
     """Sphere analytic lights must be sampled (round-1 bug: LIGHT_SPHERE
     was never valid in sample_local_lights). Far-field check: a sphere of

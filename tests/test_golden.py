@@ -1,0 +1,57 @@
+"""Golden-image regression gate (the reference's --screenshotFrameIndex
+harness, Sample.cpp:2227-2255, wired into pytest per round-2 plan).
+
+Two tiers:
+  * fast gate (default suite): 96x72 4spp reference render vs a golden
+    generated on the same CPU mesh -- deterministic RNG makes this tight;
+    catches lighting/BSDF/RNG/traversal regressions in ~90 s.
+  * slow gate (-m slow): the 160x120 8spp golden shared with the TPU CLI
+    harness; thresholds loose enough to absorb CPU-vs-TPU numerics.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+def _render(w, h, spp):
+    from rtxpt_tpu.models.renderer import Renderer, reference_config
+    from rtxpt_tpu.scene import envmap as EM, procedural
+
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(w, h)
+    env = EM.bake_procedural_sky(height=64)
+    r = Renderer(host, cam, reference_config(), env_radiance=env)
+    hdr = r.render(w, h, spp)
+    return np.asarray(r.tonemapped(hdr))
+
+
+def _compare(img, golden_name):
+    from PIL import Image
+    from compare_images import compare
+
+    path = os.path.join(ASSETS, golden_name)
+    golden = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+    return compare(img, golden)
+
+
+def test_reference_render_matches_golden_fast():
+    m = _compare(_render(96, 72, 4),
+                 "golden_programmer_art_96x72_4spp.png")
+    # same-platform deterministic render; only quantization + minor XLA
+    # version drift expected
+    assert m["psnr"] > 30.0, m
+    assert m["smape"] < 0.03, m
+
+
+@pytest.mark.slow
+def test_reference_render_matches_golden():
+    m = _compare(_render(160, 120, 8),
+                 "golden_programmer_art_160x120_8spp.png")
+    assert m["psnr"] > 17.0, m
+    assert m["smape"] < 0.10, m

@@ -8,6 +8,7 @@ The two oracles from SURVEY.md section 4:
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtxpt_tpu import config as C
@@ -40,6 +41,7 @@ def test_white_furnace_no_geometry():
     np.testing.assert_allclose(img, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nee_on_off_converge_to_same_image():
     """BASELINE config 2 oracle: MIS on/off A/B."""
     spp = 48
@@ -62,6 +64,7 @@ def test_nee_on_off_converge_to_same_image():
     assert np.median(rel) < 0.25, np.median(rel)
 
 
+@pytest.mark.slow
 def test_no_nans_full_materials():
     cfg = reference_config(max_bounces=6)
     r = _renderer(cfg)
@@ -71,6 +74,7 @@ def test_no_nans_full_materials():
     assert img.mean() > 0.01  # produced light
 
 
+@pytest.mark.slow
 def test_deterministic():
     """Same sample index -> bit-identical image (stateless RNG)."""
     cfg = reference_config(max_bounces=3)

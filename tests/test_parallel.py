@@ -2,6 +2,7 @@
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -29,6 +30,7 @@ def test_halo_exchange_matches_global_stencil():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device():
     from rtxpt_tpu import config as C
     from rtxpt_tpu.models.renderer import Renderer, reference_config

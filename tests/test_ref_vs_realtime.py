@@ -3,6 +3,7 @@ LocalConfig.cpp:40-57): with ReSTIR/denoiser/TAA/PSR disabled, the average
 of N realtime frames must converge to the reference-mode N-sample
 accumulation — the two pipelines estimate the same integral."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtxpt_tpu.models.realtime import RealtimeRenderer
@@ -14,6 +15,7 @@ W, H = 48, 32
 N = 32
 
 
+@pytest.mark.slow
 def test_realtime_converges_to_reference():
     host = procedural.build_programmer_art().finish()
     cam = procedural.default_camera(W, H)

@@ -1,6 +1,7 @@
 """ReGIR grid: unbiasedness A/B vs power-CDF local sampling, and debug
 view rendering."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtxpt_tpu import config as C
@@ -21,6 +22,7 @@ def _render(local_type, spp=16):
     return np.asarray(r.render(48, 32, spp))
 
 
+@pytest.mark.slow
 def test_regir_unbiased_vs_power():
     a = _render(C.NEE_LOCAL_POWER)
     b = _render(C.NEE_LOCAL_REGIR)
@@ -44,6 +46,7 @@ def test_regir_grid_populated():
     assert (w > 0).mean() > 0.3
 
 
+@pytest.mark.slow
 def test_debug_views_render():
     from rtxpt_tpu.utils import debugviews
     host = procedural.build_programmer_art().finish()

@@ -23,6 +23,18 @@ def load(path):
         np.float64) / 255.0
 
 
+def compare(a, b) -> dict:
+    """MSE / PSNR / SMAPE between two (H,W,3) float images."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    mse = float(np.mean((a - b) ** 2))
+    peak = max(a.max(), b.max(), 1e-9)
+    psnr = float(10.0 * np.log10(peak * peak / max(mse, 1e-20)))
+    smape = float(np.mean(np.abs(a - b) / (np.abs(a) + np.abs(b) + 1e-3)))
+    return dict(mse=mse, psnr=psnr, smape=smape)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("a")
@@ -35,10 +47,8 @@ def main(argv=None) -> int:
     if a.shape != b.shape:
         print(f"shape mismatch: {a.shape} vs {b.shape}")
         return 1
-    mse = float(np.mean((a - b) ** 2))
-    peak = max(a.max(), b.max(), 1e-9)
-    psnr = 10.0 * np.log10(peak * peak / max(mse, 1e-20))
-    smape = float(np.mean(np.abs(a - b) / (np.abs(a) + np.abs(b) + 1e-3)))
+    m = compare(a, b)
+    mse, psnr, smape = m["mse"], m["psnr"], m["smape"]
     print(f"mse={mse:.6g} psnr={psnr:.2f}dB smape={smape:.4f}")
     ok = True
     if args.max_smape is not None and smape > args.max_smape:
