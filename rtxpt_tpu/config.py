@@ -49,6 +49,9 @@ class PTConfig:
     use_emissive_lights: bool = True
     use_analytic_lights: bool = True
     stable_plane_count: int = 3           # Config.h:81
+    use_stable_planes: bool = False       # realtime: 3-plane BUILD/FILL
+    #   decomposition (False = single-plane PSR-lite G-buffer)
+    max_stable_plane_vertex_depth: int = 6
     leaf_size: int = 4
     # realtime-spine toggles (later phases)
     use_restir_di: bool = False

@@ -283,3 +283,21 @@ def compute_low_grazing_angle_falloff(light_dir, vertex_n, falloff_from,
     """(PathTracerHelpers.hlsli:48-52)"""
     return saturate((dot(light_dir, vertex_n, False) - falloff_from)
                     / falloff_range)
+
+
+def _spread_bits16(x):
+    """Spread the low 16 bits of x so bit i lands at bit 2i."""
+    x = x & jnp.uint32(0xFFFF)
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+    return x
+
+
+def morton2d(px, py):
+    """Z-order key from 16-bit pixel coords. Used to order wavefront
+    lanes so each traversal tile holds spatially coherent rays (the
+    scheduling half of the reference's SER, Sample.hlsl:122-131)."""
+    return _spread_bits16(px.astype(jnp.uint32)) | (
+        _spread_bits16(py.astype(jnp.uint32)) << 1)

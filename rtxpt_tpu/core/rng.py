@@ -145,18 +145,27 @@ _SOBOL_DIRECTIONS = np.array([
 
 def sobol(index, dimension):
     """Sobol' sample for (index, dimension); dimension may be a traced
-    per-lane uint in [0,4] (NoiseAndSequences.hlsli bhos_sobol)."""
+    per-lane uint in [0,4] (NoiseAndSequences.hlsli bhos_sobol).
+
+    The direction numbers are compile-time constants folded into an
+    unrolled XOR chain — the previous (N,32)-wide gather + fold
+    materialized 64 MB of intermediates per draw (measured 22 ms per
+    next_3d at 480k lanes; tools/profile_nee.py)."""
     index = _u32(index)
     dim = jnp.clip(_u32(dimension), 0, _SUPPORTED_LD_DIMENSIONS - 1)
-    dirs = jnp.take(jnp.asarray(_SOBOL_DIRECTIONS), dim, axis=0)  # (...,32)
-    bits = (index[..., None] >> jnp.arange(32, dtype=U32)) & np.uint32(1)
-    vals = bits * dirs
-    # XOR-fold the 32 contributions (tree reduction keeps it shallow).
-    n = 32
-    while n > 1:
-        n //= 2
-        vals = jnp.bitwise_xor(vals[..., :n], vals[..., n:2 * n])
-    return vals[..., 0]
+    zero = jnp.zeros_like(index)
+    accs = []
+    for d in range(_SUPPORTED_LD_DIMENSIONS):
+        v = zero
+        for i in range(32):
+            c = np.uint32(_SOBOL_DIRECTIONS[d, i])
+            bit = (index >> np.uint32(i)) & np.uint32(1)
+            v = v ^ jnp.where(bit != 0, c, np.uint32(0))
+        accs.append(v)
+    out = accs[0]
+    for d in range(1, _SUPPORTED_LD_DIMENSIONS):
+        out = jnp.where(dim == d, accs[d], out)
+    return out
 
 
 class SampleGenerator(NamedTuple):
@@ -210,13 +219,23 @@ def start_effect(g: SampleGenerator, effect_seed, low_discrepancy=False,
     )
 
 
-def next_uint(g: SampleGenerator):
+def next_uint(g: SampleGenerator, allow_ld: bool = True):
     """Advance and return a full-range uint32 sample
-    (StatelessSampleGenerators.hlsli:122-159)."""
-    in_ld = g.dimension != _NON_LD
+    (StatelessSampleGenerators.hlsli:122-159).
 
+    allow_ld=False is a STATIC fast path for draws whose effect was
+    started with low_discrepancy=False (NEE, russian roulette, ...):
+    the LD machinery (Sobol + Owen scrambles) is skipped entirely;
+    bit-identical to the general path for such generators."""
     # --- non-LD path: effect = Hash32(effect)
     eff_hashed = hash32(g.effect)
+    if not allow_ld:
+        g2 = SampleGenerator(base=g.base, effect=eff_hashed,
+                             sample_index=g.sample_index,
+                             dimension=g.dimension, active=g.active)
+        return g2, eff_hashed
+
+    in_ld = g.dimension != _NON_LD
 
     # --- LD path
     shuffle_seed = hash32_combine(g.effect, 0)
@@ -245,25 +264,25 @@ def next_uint(g: SampleGenerator):
     return g2, out
 
 
-def next_1d(g: SampleGenerator):
-    g, u = next_uint(g)
+def next_1d(g: SampleGenerator, allow_ld: bool = True):
+    g, u = next_uint(g, allow_ld)
     return g, hash32_to_float(u)
 
 
-def next_2d(g: SampleGenerator):
-    g, x = next_1d(g)
-    g, y = next_1d(g)
+def next_2d(g: SampleGenerator, allow_ld: bool = True):
+    g, x = next_1d(g, allow_ld)
+    g, y = next_1d(g, allow_ld)
     return g, jnp.stack([x, y], axis=-1)
 
 
-def next_3d(g: SampleGenerator):
-    g, x = next_1d(g)
-    g, y = next_1d(g)
-    g, z = next_1d(g)
+def next_3d(g: SampleGenerator, allow_ld: bool = True):
+    g, x = next_1d(g, allow_ld)
+    g, y = next_1d(g, allow_ld)
+    g, z = next_1d(g, allow_ld)
     return g, jnp.stack([x, y, z], axis=-1)
 
 
-def next_4d(g: SampleGenerator):
-    g, a = next_2d(g)
-    g, b = next_2d(g)
+def next_4d(g: SampleGenerator, allow_ld: bool = True):
+    g, a = next_2d(g, allow_ld)
+    g, b = next_2d(g, allow_ld)
     return g, jnp.concatenate([a, b], axis=-1)

@@ -63,10 +63,32 @@ def _bilinear_gather(img, x, y):
     return a * (1 - fy) + b * fy
 
 
+def _neighborhood_box(x, radius: int = 1):
+    """Per-pixel mean and std of the (2r+1)^2 neighborhood of (H,W,C)."""
+    n = 0
+    m1 = jnp.zeros_like(x)
+    m2 = jnp.zeros_like(x)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            s = _shift(x, dy, dx)
+            m1 = m1 + s
+            m2 = m2 + s * s
+            n += 1
+    m1 = m1 / n
+    sigma = jnp.sqrt(jnp.maximum(m2 / n - m1 * m1, 0.0))
+    return m1, sigma
+
+
 def temporal_accumulate(state: DenoiserState, radiance, normal, view_z,
-                        motion, max_history: float = 32.0):
+                        motion, max_history: float = 32.0,
+                        history_clamp: float = 3.0):
     """Reproject history with motion vectors, validate geometry, blend.
-    radiance: (H,W,3) demodulated; motion: (H,W,2) px (prev - cur)."""
+    radiance: (H,W,3) demodulated; motion: (H,W,2) px (prev - cur).
+
+    history_clamp > 0 applies the ReLAX anti-lag color-box clamp: the
+    reprojected history is clamped to mean +- k*sigma of the current
+    frame's 3x3 neighborhood, killing ghosting trails under lighting
+    changes (NRD RELAX history clamping)."""
     h, w = radiance.shape[0], radiance.shape[1]
     yy, xx = jnp.mgrid[0:h, 0:w]
     px = xx + motion[..., 0]
@@ -83,6 +105,18 @@ def temporal_accumulate(state: DenoiserState, radiance, normal, view_z,
     nrm_ok = jnp.sum(normal * prev_nrm, -1) > 0.8
     z_ok = jnp.abs(view_z - prev_z) < 0.1 * jnp.maximum(view_z, 1e-3)
     valid = in_bounds & nrm_ok & z_ok & (view_z < 1e29)
+
+    if history_clamp > 0.0:
+        box_m, box_s = _neighborhood_box(radiance, 1)
+        lo = box_m - history_clamp * box_s
+        hi = box_m + history_clamp * box_s
+        clamped = jnp.clip(prev_rad, lo, hi)
+        # shorten history in proportion to how much clamping moved it,
+        # so variance estimation recovers quickly after a change
+        moved = mu.luminance(jnp.abs(clamped - prev_rad)) / \
+            jnp.maximum(mu.luminance(box_m) + 1e-4, 1e-4)
+        prev_rad = clamped
+        prev_hist = prev_hist * jnp.clip(1.0 - moved, 0.25, 1.0)
 
     hist = jnp.where(valid, jnp.minimum(prev_hist + 1.0, max_history), 1.0)
     alpha = 1.0 / hist
@@ -139,14 +173,29 @@ def _shift(x, dy, dx):
 def atrous_filter(radiance, variance, normal, view_z, roughness=None,
                   iterations: int = 5, phi_lum: float = 4.0,
                   phi_normal: float = 64.0, phi_z: float = 1.0):
-    """Edge-aware a-trous wavelet passes (SVGF/ReLAX core)."""
+    """Edge-aware a-trous wavelet passes (SVGF/ReLAX core).
+
+    When `roughness` (H,W) is given the channel is filtered as SPECULAR:
+    the normal edge-stopper sharpens as roughness drops (a mirror only
+    accepts neighbors with near-identical normals) and a roughness
+    edge-stopper keeps different-material pixels apart — the ReLAX
+    specular lobe-similarity weights."""
     weights_5 = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
     lum_c = mu.luminance(radiance)
+    if roughness is not None:
+        # low roughness -> effectively delta lobe -> huge normal power
+        phi_n_eff = phi_normal / jnp.clip(roughness * roughness,
+                                          1.0 / 64.0, 1.0)
+        lum_scale = jnp.clip(roughness * 2.0, 0.1, 1.0)
+    else:
+        phi_n_eff = phi_normal
+        lum_scale = 1.0
     for it in range(iterations):
         step = 1 << it
         lum_c = mu.luminance(radiance)
         var_c = variance
-        sigma_l = phi_lum * jnp.sqrt(jnp.maximum(var_c, 1e-10)) + 1e-4
+        sigma_l = phi_lum * lum_scale * \
+            jnp.sqrt(jnp.maximum(var_c, 1e-10)) + 1e-4
         acc = radiance * weights_5[2] * weights_5[2]
         acc_v = variance * (weights_5[2] * weights_5[2]) ** 2
         acc_w = jnp.full_like(lum_c, weights_5[2] * weights_5[2])
@@ -162,10 +211,13 @@ def atrous_filter(radiance, variance, normal, view_z, roughness=None,
                 z_s = _shift(view_z, jy * step, jx * step)
                 w_l = jnp.exp(-jnp.abs(lum_s - lum_c) / sigma_l)
                 w_n = jnp.maximum(jnp.sum(normal * nrm_s, -1),
-                                  0.0) ** phi_normal
+                                  0.0) ** phi_n_eff
                 w_z = jnp.exp(-jnp.abs(z_s - view_z)
                               / (phi_z * jnp.maximum(view_z, 1e-3)))
                 wgt = wk * w_l * w_n * w_z
+                if roughness is not None:
+                    r_s = _shift(roughness, jy * step, jx * step)
+                    wgt = wgt * jnp.exp(-jnp.abs(r_s - roughness) / 0.3)
                 acc += rad_s * wgt[..., None]
                 acc_v += var_s * wgt * wgt
                 acc_w += wgt

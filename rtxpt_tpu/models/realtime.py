@@ -216,6 +216,215 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         gb_normal=gb.normal, gb_view_z=gb.view_z)
 
 
+def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
+                     prev_res: Optional[Reservoir],
+                     prev_gi: "Optional[gi.GIReservoir]", prev_gb_normal,
+                     prev_gb_z, px, py, consts, *, cfg: C.PTConfig,
+                     width: int, height: int, has_prev: bool):
+    """Stage 1 with the full stable-planes decomposition:
+    BUILD (delta tree -> up to P planes) -> ReSTIR DI/GI on the dominant
+    plane -> FILL (noisy paths deposit per-plane diff/spec radiance).
+    Mirrors Sample::PathTrace + RtxdiPass::Execute (Sample.cpp:2281-2384).
+    """
+    import dataclasses
+
+    from ..ops.intersect import Hit
+    from ..pt import shading, stableplanes as SPM
+
+    n = px.shape[0]
+    P = cfg.stable_plane_count
+    sp = SPM.build_stable_planes(
+        assets, cam, prev_cam, px, py, plane_count=P,
+        max_vertex_depth=cfg.max_stable_plane_vertex_depth)
+    dom = sp.dominant
+
+    def dsel(arr):
+        idx = dom.reshape((n,) + (1,) * (arr.ndim - 1))
+        return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+
+    d_prim = dsel(sp.prim)
+    d_bary = dsel(sp.bary)
+    d_dir = dsel(sp.ray_dir)
+    surf_d = shading.load_surface(assets.scene, jnp.maximum(d_prim, 0),
+                                  d_bary, d_dir)
+    d_valid = d_prim >= 0
+    # dominant-plane G-buffer: the RTXDI SurfaceData export
+    # (ExportVisibilityBuffer.hlsl reading the dominant plane)
+    gb = GB.GBuffer(
+        valid=d_valid, prim=d_prim, bary=d_bary, t=dsel(sp.scene_length),
+        pos=surf_d.sd.pos, normal=surf_d.sd.n,
+        face_normal=surf_d.sd.face_n, view_z=dsel(sp.view_z),
+        roughness=dsel(sp.roughness),
+        diffuse_albedo=dsel(sp.diff_est),
+        specular_albedo=dsel(sp.spec_est),
+        emission=jnp.zeros((n, 3)), motion=dsel(sp.motion),
+        view_dir=d_dir, psr_thp=dsel(sp.thp), interior=dsel(sp.interior),
+        surface=surf_d)
+    frame = consts.sample_base_index
+
+    # ---- ReSTIR DI on the dominant plane
+    if cfg.use_restir_di:
+        r = di.generate_candidates(assets, gb, px, py, frame)
+        if has_prev and prev_res is not None:
+            class _PrevGB(NamedTuple):
+                normal: jnp.ndarray
+                view_z: jnp.ndarray
+            r = di.temporal_resample(assets, gb, r, prev_res,
+                                     _PrevGB(prev_gb_normal, prev_gb_z),
+                                     px, py, width, height, frame)
+        r_feedback = r
+        r = di.spatial_resample(assets, gb, r, px, py, width, height,
+                                frame)
+        di_d, di_s = di.final_shade(assets, gb, r)
+    else:
+        r_feedback = Reservoir.empty(n)
+        di_d = jnp.zeros((n, 3))
+        di_s = jnp.zeros((n, 3))
+
+    # ---- FILL pass from the plane-0 base (firstHitFromBasePlane)
+    fill_cfg = dataclasses.replace(cfg, mode=C.MODE_FILL_STABLE_PLANES)
+    z1 = jnp.zeros((n,), jnp.float32)
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    z4 = jnp.zeros((n, 4), jnp.float32)
+    base_valid = sp.prim[:, 0] >= 0
+    path0 = integrator.PathState(
+        origin=jnp.zeros((n, 3)), direction=sp.ray_dir[:, 0],
+        thp=sp.thp[:, 0], radiance=z3, active=base_valid,
+        vertex_index=sp.vertex_index[:, 0] - 1,
+        diffuse_bounces=jnp.zeros((n,), jnp.int32),
+        rejected_hits=jnp.zeros((n,), jnp.int32),
+        scene_length=z1, firefly_k=jnp.ones((n,)),
+        cone_width=z1,
+        cone_spread=jnp.broadcast_to(cam.pixel_cone_spread_angle, (n,)),
+        interior=sp.interior[:, 0],
+        emissive_mis=jnp.ones((n,)), env_mis=jnp.ones((n,)),
+        px=px, py=py,
+        sp_branch=sp.branch_id[:, 0],
+        sp_plane=jnp.zeros((n,), jnp.int32),
+        sp_on_plane=base_valid,
+        sp_on_branch=base_valid,
+        sp_on_dominant=dom == 0,
+        sp_base_diff=jnp.zeros((n,), bool),
+        sp_base_delta=jnp.zeros((n,), bool),
+        sp_gi_l=z3, sp_gi_pdf=z1,
+        sp_gi_valid=jnp.zeros((n,), bool), sp_gi_thp=jnp.ones((n, 3)),
+        sp_delta_only=jnp.ones((n,), bool),
+        sp_bounces=jnp.zeros((n,), jnp.int32), sp_hit_t=z1,
+        sp_pend_diff=z4, sp_pend_spec=z4, sp_secondary_l=z3,
+        sp_committed_diff=jnp.zeros((n, P, 4)),
+        sp_committed_spec=jnp.zeros((n, P, 4)),
+        sp_plane_branch=sp.branch_id, sp_dominant=dom)
+    injected = Hit(t=sp.scene_length[:, 0], prim=sp.prim[:, 0],
+                   bary=sp.bary[:, 0])
+    fill = integrator.render_paths(
+        assets, cam, path0, consts, cfg=fill_cfg,
+        capture_first_hit=cfg.use_restir_gi, injected_hit=injected)
+
+    committed_diff = fill["committed_diff"]          # (N,P,4)
+    committed_spec = fill["committed_spec"]
+
+    # ---- ReSTIR GI on the dominant plane
+    if cfg.use_restir_gi:
+        sec_pos, sec_nrm, sec_found = fill["first"]
+        lo = fill["gi_l"] / jnp.maximum(fill["gi_thp"], 1e-6)
+        gi_ok = fill["gi_valid"] & sec_found
+        gr = gi.make_initial(gb, sec_pos, sec_nrm, gi_ok, lo,
+                             fill["gi_pdf"])
+        if has_prev and prev_gi is not None:
+            gr = gi.temporal_resample(gb, gr, prev_gi, prev_gb_normal,
+                                      prev_gb_z, px, py, width, height,
+                                      frame)
+        gi_feedback = gr
+        gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
+        gi_d, gi_s = gi.final_shade(assets, gb, gr)
+    else:
+        gi_feedback = gi.GIReservoir.empty(n)
+        gi_d = jnp.zeros((n, 3))
+        gi_s = jnp.zeros((n, 3))
+
+    # fold ReSTIR DI/GI radiance (at the dominant base, thp-weighted like
+    # the committed channels) into the dominant plane's channels
+    dom_oh = jnp.arange(P)[None, :] == dom[:, None]           # (N,P)
+    thp_dom = dsel(sp.thp)
+    add_d = (di_d + gi_d) * thp_dom
+    add_s = (di_s + gi_s) * thp_dom
+    hit_td = dsel(sp.view_z)
+    committed_diff = jnp.where(
+        dom_oh[..., None],
+        SPM.combine_hit_t(committed_diff, add_d[:, None] *
+                          jnp.ones((1, P, 1)), hit_td[:, None]),
+        committed_diff)
+    committed_spec = jnp.where(
+        dom_oh[..., None],
+        SPM.combine_hit_t(committed_spec, add_s[:, None] *
+                          jnp.ones((1, P, 1)), hit_td[:, None]),
+        committed_spec)
+
+    # hitT-based specular virtual reprojection (NRD virtual motion): a
+    # mirror-like surface's specular history lives at the REFLECTED
+    # point; reproject pos + viewDir*hitT with the previous camera and
+    # blend toward plain surface motion as roughness grows
+    spec_hit_t = committed_spec[..., 3]                      # (N,P)
+    virt_pos = sp.pos + sp.ray_dir * spec_hit_t[..., None]
+    prev_xy_virt, _ = GB.project_to_screen(prev_cam, virt_pos)
+    cur_xy = jnp.stack([px.astype(jnp.float32),
+                        py.astype(jnp.float32)], -1)[:, None, :]
+    virt_motion = prev_xy_virt - cur_xy
+    w_virt = jnp.clip(1.0 - sp.roughness * 4.0, 0.0, 1.0) * \
+        (spec_hit_t > 0.0)
+    spec_motion = sp.motion + (virt_motion - sp.motion) * \
+        w_virt[..., None]
+
+    return (sp, committed_diff, committed_spec, spec_motion, r_feedback,
+            gi_feedback, gb.normal, gb.view_z)
+
+
+def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
+                       den_states, taa_state, *, width: int, height: int,
+                       use_den: bool, use_taa: bool):
+    """Stage 2 for stable planes: per-plane demodulate -> denoise ->
+    remodulate -> merge (+stable radiance) -> TAA. Mirrors
+    Sample::Denoise (Sample.cpp:2398-2440) + PostProcess final merge."""
+    from ..pt import stableplanes as SPM
+
+    P = committed_diff.shape[1]
+    shp = (height, width)
+    eps = 1e-3
+    color = sp.stable_radiance.reshape(shp + (3,))
+    new_den = []
+    # dominant-plane motion drives TAA; per-plane motion drives denoising
+    for p in range(P):
+        d_in = (committed_diff[:, p, :3]
+                / jnp.maximum(sp.diff_est[:, p], eps)).reshape(shp + (3,))
+        s_in = (committed_spec[:, p, :3]
+                / jnp.maximum(sp.spec_est[:, p], eps)).reshape(shp + (3,))
+        normal = sp.normal[:, p].reshape(shp + (3,))
+        view_z = sp.view_z[:, p].reshape(shp)
+        motion = sp.motion[:, p].reshape(shp + (2,))
+        valid = (sp.branch_id[:, p]
+                 != SPM.INVALID_BRANCH).reshape(shp)
+        if use_den:
+            dd, ds = den_states[p]
+            d_f, dd = relax.denoise(dd, d_in, normal, view_z, motion)
+            s_f, ds = relax.denoise(ds, s_in, normal, view_z,
+                                    spec_motion[:, p].reshape(shp + (2,)),
+                                    roughness=sp.roughness[:, p].reshape(
+                                        shp), iterations=3)
+            new_den.append((dd, ds))
+        else:
+            d_f, s_f = d_in, s_in
+            new_den.append(den_states[p] if den_states else None)
+        plane_col = d_f * sp.diff_est[:, p].reshape(shp + (3,)) \
+            + s_f * sp.spec_est[:, p].reshape(shp + (3,))
+        color = color + jnp.where(valid[..., None], plane_col, 0.0)
+    if use_taa:
+        dom_oh = (jnp.arange(P)[None, :] == sp.dominant[:, None])
+        motion_dom = jnp.sum(sp.motion * dom_oh[..., None],
+                             axis=1).reshape(shp + (2,))
+        color, taa_state = taa_mod.resolve(taa_state, color, motion_dom)
+    return color, new_den, taa_state
+
+
 def _post_frame(out: FrameOutputs, den_diff, den_spec, taa_state, *,
                 use_den: bool, use_taa: bool):
     """Stage 2 (post pipeline): demodulate, denoise (ReLAX), compose,
@@ -258,14 +467,21 @@ class RealtimeRenderer(Renderer):
         self.prev_gb_z = None
         self.den_diff = None
         self.den_spec = None
+        self.den_states = None     # stable-planes: per-plane (diff, spec)
         self.taa_state = None
+        self.taau_state = None     # display-res upscaler history
         self._frame_jit = None
         self._post_jit = {}
 
     def render_frame(self, width: int, height: int,
                      camera: Optional[CameraData] = None,
                      denoise: Optional[bool] = None,
-                     taa: bool = True):
+                     taa: bool = True,
+                     display_size: Optional[tuple] = None):
+        """Render one frame at (width, height); when `display_size`
+        = (Wd, Hd) is given, the frame is temporally upscaled to display
+        resolution by the TAAU slot (the DLSS-slot contract: render size
+        != display size, Sample.cpp:1733-1781)."""
         cam = camera or self.camera
         jit = r2_jitter(self.frame_index) if self.cfg.realtime_noise \
             else (0.0, 0.0)
@@ -277,6 +493,21 @@ class RealtimeRenderer(Renderer):
         has_prev = self.prev_reservoir is not None
         if self._frame_jit is None:
             self._frame_jit = {}
+        taa = taa and display_size is None   # TAAU replaces TAA
+        if self.cfg.use_stable_planes:
+            color = self._render_frame_stable(width, height, cam, px, py,
+                                              consts, has_prev, denoise,
+                                              taa)
+            if display_size is not None:
+                sp = self.last_stable_planes
+                P = self.cfg.stable_plane_count
+                dom_oh = (jnp.arange(P)[None, :]
+                          == sp.dominant[:, None])
+                motion = jnp.sum(sp.motion * dom_oh[..., None],
+                                 axis=1).reshape(height, width, 2)
+                color = self._apply_taau(color, motion, display_size,
+                                         jit)
+            return color
         key = (width, height, has_prev)
         if key not in self._frame_jit:
             self._frame_jit[key] = jax.jit(functools.partial(
@@ -311,5 +542,61 @@ class RealtimeRenderer(Renderer):
         self.prev_gi = out.gi_reservoir
         self.prev_gb_normal = out.gb_normal
         self.prev_gb_z = out.gb_view_z
+        self.frame_index += 1
+        if display_size is not None:
+            color = self._apply_taau(
+                color, out.motion, display_size, jit)
+        return color
+
+    def _apply_taau(self, color, motion, display_size, jitter):
+        """DLSS-slot upscaler: render-res color -> display-res output."""
+        from ..post import taau
+        key = ("taau", color.shape, tuple(display_size),
+               self.taau_state is not None)
+        if key not in self._post_jit:
+            self._post_jit[key] = jax.jit(functools.partial(
+                taau.resolve, display_size=tuple(display_size)))
+        out, self.taau_state = self._post_jit[key](
+            self.taau_state, color, motion,
+            jitter=jnp.asarray(jitter, jnp.float32))
+        return out
+
+    def _render_frame_stable(self, width, height, cam, px, py, consts,
+                             has_prev, denoise, taa):
+        """Frame driver for the 3-plane stable-planes pipeline."""
+        n = width * height
+        key = ("sp", width, height, has_prev)
+        if key not in self._frame_jit:
+            self._frame_jit[key] = jax.jit(functools.partial(
+                _pt_frame_stable, cfg=self.cfg, width=width, height=height,
+                has_prev=has_prev))
+        (sp, cdiff, cspec, smot, r_fb, gi_fb, gb_normal, gb_z) = \
+            self._frame_jit[key](
+                self.assets, cam, self.prev_cam, self.prev_reservoir,
+                self.prev_gi,
+                self.prev_gb_normal if has_prev else jnp.zeros((n, 3)),
+                self.prev_gb_z if has_prev else jnp.zeros((n,)),
+                px, py, consts)
+
+        use_den = self.cfg.denoiser_enabled if denoise is None else denoise
+        P = self.cfg.stable_plane_count
+        if self.den_states is None:
+            self.den_states = [(None, None)] * P
+        post_key = ("sp", width, height, use_den, taa,
+                    self.den_states[0][0] is not None,
+                    self.taa_state is not None)
+        if post_key not in self._post_jit:
+            self._post_jit[post_key] = jax.jit(functools.partial(
+                _post_frame_stable, width=width, height=height,
+                use_den=use_den, use_taa=taa))
+        color, self.den_states, self.taa_state = self._post_jit[post_key](
+            sp, cdiff, cspec, smot, self.den_states, self.taa_state)
+
+        self.last_stable_planes = sp
+        self.prev_cam = cam
+        self.prev_reservoir = r_fb
+        self.prev_gi = gi_fb
+        self.prev_gb_normal = gb_normal
+        self.prev_gb_z = gb_z
         self.frame_index += 1
         return color

@@ -73,9 +73,13 @@ class Renderer:
         self.soup = TriSoup.build(self.scene.positions, self.scene.indices,
                                   self.bvh2.order)
         # unified 8-wide layout: Pallas MXU-gather traversal on TPU,
-        # one-gather-per-step XLA loop elsewhere
+        # one-gather-per-step XLA loop elsewhere; alpha-MASK triangles
+        # carry baked opacity micro-masks (the OMM equivalent)
+        from ..scene.omm import bake_opacity_masks
+        tri_omm = bake_opacity_masks(host_scene)
         self.bvh = bvh_mod.collapse_bvh8(self.bvh2, self.scene.positions,
-                                         self.scene.indices)
+                                         self.scene.indices,
+                                         tri_omm=tri_omm)
         if env_radiance is None:
             env_radiance = EM.bake_procedural_sky()
         self.env = EM.make_envmap(env_radiance, intensity=env_intensity,

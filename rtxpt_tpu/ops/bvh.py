@@ -162,6 +162,136 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray,
 import jax
 
 
+# ---- bf16 gather planes -----------------------------------------------------
+# The Pallas traversal fetches rows as table_T @ onehot on the MXU. An f32
+# fetch needs Precision.HIGHEST (6 bf16 passes, measured 6.4x the cost of a
+# single bf16 pass on v5e — tools/kernel_lab.py). Instead the table is
+# re-packed into bf16 "planes" whose values reconstruct exactly from
+# single-pass DEFAULT matmuls:
+#   * node bounds: bf16 rounded conservatively (min down / max up), so the
+#     slab test stays correct (at worst visits a few extra nodes);
+#   * child codes: biased integers split into 3x8-bit digits (each digit
+#     < 256 is exactly representable in bf16, and a one-hot matmul
+#     reproduces it exactly);
+#   * leaf triangle data: 3-way bf16 residual split (h1+h2+h3 carries the
+#     full 24-bit f32 mantissa), summed after the gather.
+CODE_BIAS = 1 << 23  # codes in (-2^23, 2^23) -> biased to [0, 2^24)
+
+
+def _bf16_round_dir(x, up: bool):
+    """bf16 value <= x (up=False) or >= x (up=True), elementwise f32->bf16.
+    Truncating the low 16 bits always shrinks the magnitude; bump one ulp
+    when the shrink went the wrong way for the requested direction."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    t = u & jnp.uint32(0xFFFF0000)
+    exact = t == u
+    neg = x < 0
+    bump = ((~neg) if up else neg) & ~exact
+    t = t + jnp.where(bump, jnp.uint32(0x10000),
+                      jnp.uint32(0)).astype(jnp.uint32)
+    y = jax.lax.bitcast_convert_type(t, jnp.float32)
+    return y.astype(jnp.bfloat16)
+
+
+def _split3(x):
+    """3-way bf16 residual split: h1+h2+h3 ~= x to full f32 precision."""
+    x = x.astype(jnp.float32)
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    h3 = r2.astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def _pack_tpu_planes_np(table, leaf_size: int, leaf_omm=None):
+    """Host numpy variant of pack_tpu_planes (construction cold path;
+    avoids ~45 s of eager per-op dispatches through the TPU tunnel)."""
+    import ml_dtypes
+    table = np.asarray(table, np.float32)
+    bf = np.dtype(ml_dtypes.bfloat16)
+
+    def round_dir(x, up):
+        u = x.view(np.uint32)
+        t = u & np.uint32(0xFFFF0000)
+        exact = t == u
+        neg = x < 0
+        bump = ((~neg) if up else neg) & ~exact
+        t = t + np.where(bump, np.uint32(0x10000), np.uint32(0))
+        return t.view(np.float32).astype(bf)
+
+    bounds = table[:, :48]
+    is_min = (np.arange(48) % 6) < 3
+    b = np.where(is_min[None, :], round_dir(bounds, False),
+                 round_dir(bounds, True))
+    codes = np.round(table[:, 48:56]).astype(np.int64) + CODE_BIAS
+    codes = np.clip(codes, 0, (1 << 24) - 1)
+    digits = np.stack([(codes >> 16), (codes >> 8) & 255, codes & 255],
+                      axis=-1).reshape(-1, 24).astype(bf)
+    nodes = np.concatenate([b.astype(bf), digits], axis=-1)
+
+    lv = table[:, :9 * leaf_size]
+    h1 = lv.astype(bf)
+    r1 = lv - h1.astype(np.float32)
+    h2 = r1.astype(bf)
+    r2 = r1 - h2.astype(np.float32)
+    h3 = r2.astype(bf)
+    leaves = np.stack([h1, h2, h3], axis=-1).reshape(
+        table.shape[0], 27 * leaf_size)
+    rows = table.shape[0]
+    if leaf_omm is None:
+        omm = np.full((rows, leaf_size), 0xFFFF, np.int64)
+    else:
+        omm = np.asarray(leaf_omm, np.int64).reshape(rows, leaf_size)
+    omm_cols = np.stack([(omm >> 8) & 255, omm & 255],
+                        axis=-1).reshape(rows, 2 * leaf_size).astype(bf)
+    leaves = np.concatenate([leaves, omm_cols], axis=-1)
+    return (jnp.asarray(np.ascontiguousarray(nodes.T)),
+            jnp.asarray(np.ascontiguousarray(leaves.T)))
+
+
+def pack_tpu_planes(table, leaf_size: int, leaf_omm=None):
+    """(rows, W) f32 unified table -> (nodes_t, leaves_t) bf16 planes,
+    both transposed to (cols, rows) for the MXU gather.
+
+    nodes_t (72, rows): cols 0:48 conservative bounds (min.xyz down,
+    max.xyz up per child slot), cols 48:72 = 8 children x 3 code digits.
+    leaves_t (29*leaf_size, rows): cols 0:27*ls = triangle values as
+    3-way residual splits; cols 27*ls + 2k = hi/lo bytes of triangle
+    k's 16-bit opacity micro-mask (scene/omm.py). jit-friendly (pure
+    jnp) so the refit path can re-pack."""
+    if not isinstance(table, jax.core.Tracer):
+        return _pack_tpu_planes_np(table, leaf_size, leaf_omm)
+    bounds = table[:, :48]
+    is_min = (jnp.arange(48) % 6) < 3
+    b_lo = _bf16_round_dir(bounds, up=False)
+    b_hi = _bf16_round_dir(bounds, up=True)
+    b = jnp.where(is_min[None, :], b_lo, b_hi)          # (rows, 48)
+
+    codes = jnp.round(table[:, 48:56]).astype(jnp.int32) + CODE_BIAS
+    codes = jnp.clip(codes, 0, (1 << 24) - 1)
+    d2 = (codes >> 16).astype(jnp.bfloat16)
+    d1 = ((codes >> 8) & 255).astype(jnp.bfloat16)
+    d0 = (codes & 255).astype(jnp.bfloat16)
+    digits = jnp.stack([d2, d1, d0], axis=-1).reshape(-1, 24)  # (rows, 24)
+
+    nodes = jnp.concatenate([b, digits], axis=-1)        # (rows, 72)
+
+    lv = table[:, :9 * leaf_size]
+    h1, h2, h3 = _split3(lv)
+    leaves = jnp.stack([h1, h2, h3], axis=-1).reshape(
+        table.shape[0], 27 * leaf_size)                  # (rows, 27*ls)
+    rows = table.shape[0]
+    if leaf_omm is None:
+        omm = jnp.full((rows, leaf_size), 0xFFFF, jnp.int32)
+    else:
+        omm = jnp.asarray(leaf_omm, jnp.int32).reshape(rows, leaf_size)
+    omm_cols = jnp.stack([(omm >> 8) & 255, omm & 255], axis=-1).reshape(
+        rows, 2 * leaf_size).astype(jnp.bfloat16)
+    leaves = jnp.concatenate([leaves, omm_cols], axis=-1)
+    return nodes.T, leaves.T
+
+
 @jax.tree_util.register_pytree_node_class
 class BVH8:
     """8-wide BVH in a UNIFIED one-row-per-gather layout (the SER/RT-core
@@ -180,7 +310,8 @@ class BVH8:
     leaf_size/num_nodes are static pytree aux data (jit-specializing)."""
 
     def __init__(self, table, leaf_tris, leaf_size: int, num_nodes: int,
-                 refit_info=None):
+                 refit_info=None, nodes_t=None, leaves_t=None,
+                 leaf_omm=None):
         self.table = table          # (R, W) f32 unified node/leaf rows
         self.leaf_tris = leaf_tris  # (R*leaf_size,) i32 original tri ids
         self.leaf_size = leaf_size
@@ -189,6 +320,16 @@ class BVH8:
         # np.int32 child codes per node row, "levels": tuple of np arrays
         # of node-row ids by depth}
         self.refit_info = refit_info
+        # (R*leaf_size,) i32 16-bit opacity micro-masks (scene/omm.py)
+        if leaf_omm is None:
+            leaf_omm = jnp.full_like(leaf_tris, 0xFFFF)
+        self.leaf_omm = leaf_omm
+        # bf16 gather planes for the Pallas MXU kernel (pack_tpu_planes)
+        if nodes_t is None:
+            nodes_t, leaves_t = pack_tpu_planes(table, leaf_size,
+                                                leaf_omm)
+        self.nodes_t = nodes_t      # (72, R) bf16
+        self.leaves_t = leaves_t    # (29*leaf_size, R) bf16
 
     @property
     def num_rows(self) -> int:
@@ -196,16 +337,19 @@ class BVH8:
 
     def replace_table(self, table) -> "BVH8":
         return BVH8(table, self.leaf_tris, self.leaf_size, self.num_nodes,
-                    self.refit_info)
+                    self.refit_info, leaf_omm=self.leaf_omm)
 
     def tree_flatten(self):
-        return (self.table, self.leaf_tris), (self.leaf_size,
-                                              self.num_nodes,
-                                              _StaticWrap(self.refit_info))
+        return ((self.table, self.leaf_tris, self.nodes_t, self.leaves_t,
+                 self.leaf_omm),
+                (self.leaf_size, self.num_nodes,
+                 _StaticWrap(self.refit_info)))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], aux[2].val)
+        return cls(children[0], children[1], aux[0], aux[1], aux[2].val,
+                   nodes_t=children[2], leaves_t=children[3],
+                   leaf_omm=children[4])
 
 
 class _StaticWrap:
@@ -223,7 +367,7 @@ class _StaticWrap:
 
 
 def collapse_bvh8(bvh: BVH2, positions, indices,
-                  leaf_collapse: int = 16) -> BVH8:
+                  leaf_collapse: int = 16, tri_omm=None) -> BVH8:
     """Collapse a BVH2 into the unified 8-wide layout (host side).
 
     Subtrees with <= leaf_collapse triangles become single leaves spanning
@@ -409,10 +553,17 @@ def collapse_bvh8(bvh: BVH2, positions, indices,
             f"BVH8 child code {max(max_code, max_leaf_code)} not exactly "
             "representable in f32 (>= 2^24 rows*32); scene too large for "
             "the unified table")
+    leaf_omm = None
+    if tri_omm is not None:
+        tri_omm = np.asarray(tri_omm, np.int32)
+        lo = np.full(leaf_tris.shape, 0xFFFF, np.int32)
+        lv = leaf_tris >= 0
+        lo[lv] = tri_omm[leaf_tris[lv]]
+        leaf_omm = jnp.asarray(lo.reshape(-1))
     return BVH8(table=jnp.asarray(table),
                 leaf_tris=jnp.asarray(leaf_tris.reshape(-1)),
                 leaf_size=leaf_collapse, num_nodes=n_nodes,
-                refit_info=refit_info)
+                refit_info=refit_info, leaf_omm=leaf_omm)
 
 
 def refit(bvh: BVH2, positions: jnp.ndarray, indices: jnp.ndarray) -> BVH2:

@@ -141,7 +141,8 @@ def _trace(child_bounds, child_idx, verts, origins, dirs, t_min, t_max,
 
 @partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
 def _trace8(table, origins, dirs, t_min, t_max,
-            active, leaf_size: int = 16, any_hit: bool = False):
+            active, leaf_size: int = 16, any_hit: bool = False,
+            leaf_omm=None):
     """Unified 8-wide traversal: exactly ONE table gather per iteration
     (the dominant cost on the target TPU is per-gather-op, ~independent of
     row width). A popped row is either a node (8 child AABBs + codes) or a
@@ -222,6 +223,16 @@ def _trace8(table, origins, dirs, t_min, t_max,
                                        st.best_t[:, None])
         kmask = jnp.arange(leaf_size)[None, :] < lcount[:, None]
         h = h & kmask & do_leaf[:, None]
+        if leaf_omm is not None:
+            # OMM cell test (scene/omm.py): certain-transparent regions
+            # of alpha-MASK triangles never register a hit
+            omm_tab = leaf_omm.reshape(-1, leaf_size)
+            masks = omm_tab[jnp.clip(leaf_row, 0,
+                                     omm_tab.shape[0] - 1)]   # (N, ls)
+            ci = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+            cj = jnp.clip((vv * 4.0).astype(jnp.int32), 0, 3)
+            bit = (masks >> (ci * 4 + cj)) & 1
+            h = h & (bit != 0)
         t = jnp.where(h, t, jnp.inf)
         k = jnp.argmin(t, axis=-1)
         tk = jnp.take_along_axis(t, k[:, None], -1)[:, 0]
@@ -260,7 +271,7 @@ def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
         t, prim, uv, _ = _trace8(bvh.table, origins, dirs,
                                  jnp.asarray(t_min, jnp.float32), t_max,
                                  active, leaf_size=bvh.leaf_size,
-                                 any_hit=False)
+                                 any_hit=False, leaf_omm=bvh.leaf_omm)
         orig = jnp.where(prim >= 0, bvh.leaf_tris[jnp.maximum(prim, 0)], -1)
         return Hit(t, orig, uv)
     t, prim, uv, _ = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
@@ -287,7 +298,7 @@ def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
         _, prim, _, _ = _trace8(bvh.table, origins, dirs,
                                 jnp.asarray(t_min, jnp.float32), t_max,
                                 active, leaf_size=bvh.leaf_size,
-                                any_hit=True)
+                                any_hit=True, leaf_omm=bvh.leaf_omm)
         return prim >= 0
     _, prim, _, _ = _trace(bvh.child_bounds, bvh.child_idx, soup.verts,
                            origins, dirs, jnp.asarray(t_min, jnp.float32),

@@ -1,20 +1,25 @@
-"""Pallas TPU traversal kernel: MXU one-hot gathers from a VMEM-resident
-unified BVH8 table.
+"""Pallas TPU traversal kernel: MXU one-hot gathers from VMEM-resident
+bf16 BVH8 planes.
 
-The RT-core replacement, designed from measured TPU behavior:
-  * XLA HBM gathers sustain only ~1.5 GB/s on this chip, so the whole
-    unified node/leaf table (ops/bvh.py BVH8) is pinned in VMEM and each
-    per-lane row fetch is computed as table_T @ onehot(idx) on the MXU
-    (measured ~30x faster than the XLA gather loop for the same trace).
-  * Data is laid out component-wise: the gather result is (width, TILE),
-    so extracting "field j of every lane's row" is a cheap sublane slice;
-    rays are passed transposed (3, N). No cross-lane shuffles anywhere.
+The RT-core replacement, designed from measured TPU behavior
+(tools/kernel_lab.py on v5e):
+  * XLA HBM gathers sustain only ~1.5 GB/s on this chip, so the BVH8
+    table is pinned in VMEM and each per-lane row fetch is computed as
+    plane_T @ onehot(idx) on the MXU.
+  * An f32 fetch needs Precision.HIGHEST = 6 bf16 passes (~6.4x a single
+    pass, and ~90% of the whole per-iteration cost). The table is instead
+    packed into bf16 planes that reconstruct exactly from single-pass
+    DEFAULT matmuls (ops/bvh.py pack_tpu_planes): conservative-rounded
+    node bounds, 3x8-bit code digits, 3-way residual-split leaf vertices.
+  * Node and leaf fetches are separate matmuls; the leaf plane (the wide
+    one, 27*leaf_size cols) is gated behind `lax.cond(any(do_leaf))` so
+    node-only iterations skip it. VPU blocks (stack selects, slab tests,
+    sort network, Moller-Trumbore) measure ~free next to the matmuls —
+    they overlap MXU work.
   * The per-lane traversal stack is a (STACK_DEPTH, TILE) carry — slots on
     SUBLANES, rays on lanes, so every masked push/pop select runs on fully
-    packed (8,128) native tiles (the round-1 (TILE, STACK_DEPTH) layout
-    left 80/128 lanes idle; measured ~10us/iter saved). Push/pop are
-    masked elementwise row selects (iota == slot) — Mosaic needs no
-    scatter/gather support.
+    packed (8,128) native tiles. Push/pop are masked elementwise row
+    selects (iota == slot) — Mosaic needs no scatter/gather support.
   * The while_loop re-checks its cross-lane cond every COND_EVERY bodies:
     a wasted masked iteration is cheaper than the cond's vector->scalar
     sync (measured on v5e).
@@ -36,13 +41,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .bvh import BVH8, LEAF_MAX
+from .bvh import BVH8, CODE_BIAS, LEAF_MAX
 from .intersect import Hit
 
 TILE = 1024
 STACK_DEPTH = 48
 MAX_ITERS = 100_000
-COND_EVERY = 2   # traversal bodies per while-cond check
+COND_EVERY = int(__import__("os").environ.get("RTXPT_COND_EVERY", "2"))  # bodies per while-cond check
 # MXU-gather budget: rows beyond this make onehot matmuls too expensive
 _MAX_ROWS = 4096
 
@@ -95,11 +100,12 @@ def _slab(ox, oy, oz, ix, iy, iz, bnds, t_min, t_max):
     return tn <= tf, tn
 
 
-def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
+def _make_kernel(rows: int, leaf_size: int, any_hit: bool):
 
-    def kernel(table_ref, o_ref, d_ref, tmax_ref, act_ref,
+    def kernel(nodes_ref, leaves_ref, o_ref, d_ref, tmax_ref, act_ref,
                t_out, prim_out, u_out, v_out):
-        tab_t = table_ref[:]                         # (width, rows) VMEM
+        tab_n = nodes_ref[:]                         # (72, rows) bf16
+        tab_l = leaves_ref[:]                        # (27*ls, rows) bf16
         ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]    # (TILE,)
         dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
 
@@ -114,12 +120,21 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
         slot_rows = jax.lax.broadcasted_iota(jnp.int32,
                                              (STACK_DEPTH, TILE), 0)
 
+        # best-hit state lives in the OUTPUT refs so the gated leaf block
+        # can be a side-effecting pl.when (Mosaic's native predication)
+        # instead of a value-carrying cond
+        t_out[0] = tmax_ref[0]
+        prim_out[0] = jnp.full((TILE,), -1, jnp.int32)
+        u_out[0] = jnp.zeros((TILE,), jnp.float32)
+        v_out[0] = jnp.zeros((TILE,), jnp.float32)
+
         def cond(carry):
-            _, sp, _, _, _, _, it = carry
+            _, sp, it = carry
             return jnp.any(sp > 0) & (it < MAX_ITERS)
 
         def step(carry):
-            stack, sp, best_t, best_prim, best_u, best_v, it = carry
+            stack, sp, it = carry
+            best_t = t_out[0]
             has = sp > 0
             top_row = jnp.maximum(sp - 1, 0)
             top = jnp.sum(jnp.where(slot_rows == top_row[None, :], stack,
@@ -134,25 +149,22 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
             lcount = vcode & LEAF_MAX
             fetch = jnp.where(do_leaf, leaf_row,
                               jnp.where(do_node, top, 0))
-            # MXU gather: (width, rows) @ (rows, TILE) -> (width, TILE)
+            # one-hot shared by both gathers; bf16 0/1 entries are exact
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (rows, TILE), 0)
-                      == fetch[None, :]).astype(jnp.float32)
-            # HIGHEST precision: default TPU matmul rounds to bf16,
-            # which corrupts geometry and child codes (and is NOT faster
-            # here — the iteration is VPU/overhead-bound, measured)
-            row = jnp.dot(tab_t, onehot,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                      == fetch[None, :]).astype(jnp.bfloat16)
 
-            # ---- node: 8 AABBs + codes
-            ci = row[48:56].astype(jnp.int32)   # codes are float values
+            # ---- node: single-pass bf16 gather of bounds + code digits
+            nrow = jnp.dot(tab_n, onehot,
+                           preferred_element_type=jnp.float32)  # (72,TILE)
             ts = []
             cs = []
             for k in range(8):
+                ck = (nrow[48 + 3 * k] * 65536.0 + nrow[49 + 3 * k] * 256.0
+                      + nrow[50 + 3 * k] - float(CODE_BIAS)
+                      ).astype(jnp.int32)
                 hk, tk_ = _slab(ox, oy, oz, ix, iy, iz,
-                                [row[k * 6 + j] for j in range(6)],
+                                [nrow[k * 6 + j] for j in range(6)],
                                 t_min, best_t)
-                ck = ci[k]
                 hk = hk & (ck != -1) & do_node
                 ts.append(jnp.where(hk, tk_, -jnp.inf))
                 cs.append(ck)
@@ -173,20 +185,45 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
                 off = off + valid.astype(jnp.int32)
             sp = sp + off
 
-            # ---- leaf: unrolled wide MT over inlined triangles
-            for k in range(leaf_size):
-                tv = [row[9 * k + j] for j in range(9)]
-                h, t, u, vv = _mt_scalar(ox, oy, oz, dx, dy, dz, tv,
-                                         t_min, best_t)
-                h = h & do_leaf & (k < lcount)
-                best_prim = jnp.where(h, leaf_row * leaf_size + k,
-                                      best_prim)
-                best_u = jnp.where(h, u, best_u)
-                best_v = jnp.where(h, vv, best_v)
-                best_t = jnp.where(h, t, best_t)
+            # ---- leaf: gated wide gather + unrolled Moller-Trumbore.
+            # The leaf plane is the expensive matmul (27*ls cols); most
+            # iterations pop only nodes, so skip it tile-wide when no
+            # lane holds a leaf.
+            @pl.when(jnp.any(do_leaf))
+            def _():
+                bt = t_out[0]
+                bp = prim_out[0]
+                bu = u_out[0]
+                bv = v_out[0]
+                lrow = jnp.dot(tab_l, onehot,
+                               preferred_element_type=jnp.float32)
+                omm0 = 27 * leaf_size
+                for k in range(leaf_size):
+                    tv = [lrow[27 * k + 3 * j] + lrow[27 * k + 3 * j + 1]
+                          + lrow[27 * k + 3 * j + 2] for j in range(9)]
+                    h, t, u, vv = _mt_scalar(ox, oy, oz, dx, dy, dz, tv,
+                                             t_min, bt)
+                    h = h & do_leaf & (k < lcount)
+                    # opacity micro-mask (OMM) cell test: certain-
+                    # transparent regions never hit (scene/omm.py)
+                    mask = (lrow[omm0 + 2 * k] * 256.0
+                            + lrow[omm0 + 2 * k + 1]).astype(jnp.int32)
+                    ci = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+                    cj = jnp.clip((vv * 4.0).astype(jnp.int32), 0, 3)
+                    bit = (mask >> (ci * 4 + cj)) & 1
+                    h = h & (bit != 0)
+                    bp = jnp.where(h, leaf_row * leaf_size + k, bp)
+                    bu = jnp.where(h, u, bu)
+                    bv = jnp.where(h, vv, bv)
+                    bt = jnp.where(h, t, bt)
+                t_out[0] = bt
+                prim_out[0] = bp
+                u_out[0] = bu
+                v_out[0] = bv
+
             if any_hit:
-                sp = jnp.where(best_prim >= 0, 0, sp)
-            return (stack, sp, best_t, best_prim, best_u, best_v, it + 1)
+                sp = jnp.where(prim_out[0] >= 0, 0, sp)
+            return (stack, sp, it + 1)
 
         def body(carry):
             for _ in range(COND_EVERY):
@@ -195,25 +232,16 @@ def _make_kernel(rows: int, width: int, leaf_size: int, any_hit: bool):
 
         init = (jnp.zeros((STACK_DEPTH, TILE), jnp.int32),
                 jnp.where(act, 1, 0).astype(jnp.int32),
-                tmax_ref[0],
-                jnp.full((TILE,), -1, jnp.int32),
-                jnp.zeros((TILE,), jnp.float32),
-                jnp.zeros((TILE,), jnp.float32),
                 jnp.int32(0))
-        _, _, bt, bp, bu, bv, _ = jax.lax.while_loop(cond, body, init)
-        t_out[0] = bt
-        prim_out[0] = bp
-        u_out[0] = bu
-        v_out[0] = bv
+        jax.lax.while_loop(cond, body, init)
 
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rows", "width", "leaf_size",
-                                    "any_hit"))
-def _trace_pallas(table_t, origins, dirs, t_max, active, rows: int,
-                  width: int, leaf_size: int, any_hit: bool):
+                   static_argnames=("rows", "leaf_size", "any_hit"))
+def _trace_pallas(nodes_t, leaves_t, origins, dirs, t_max, active,
+                  rows: int, leaf_size: int, any_hit: bool):
     n = origins.shape[0]
     n_pad = _round_up(max(n, TILE), TILE)
     pad = n_pad - n
@@ -222,7 +250,7 @@ def _trace_pallas(table_t, origins, dirs, t_max, active, rows: int,
     tm = jnp.pad(t_max, (0, pad))[None, :]                # (1, n_pad)
     ac = jnp.pad(active.astype(jnp.int32), (0, pad))[None, :]
 
-    kernel = _make_kernel(rows, width, leaf_size, any_hit)
+    kernel = _make_kernel(rows, leaf_size, any_hit)
     grid = (n_pad // TILE,)
     t, prim, u, v = pl.pallas_call(
         kernel,
@@ -232,7 +260,9 @@ def _trace_pallas(table_t, origins, dirs, t_max, active, rows: int,
                    jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((width, rows), lambda i: (0, 0),
+            pl.BlockSpec((72, rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((29 * leaf_size, rows), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -251,14 +281,9 @@ def _trace_pallas(table_t, origins, dirs, t_max, active, rows: int,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, TILE), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-    )(table_t, o, d, tm, ac)
+    )(nodes_t, leaves_t, o, d, tm, ac)
     uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
     return t[0, :n], prim[0, :n], uv
-
-
-def table_transposed(bvh: BVH8):
-    """(width, rows) f32 view of the unified table for the MXU gather."""
-    return bvh.table.T
 
 
 def pallas_supported(bvh: BVH8) -> bool:
@@ -271,11 +296,9 @@ def trace_closest(bvh: BVH8, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tt = table_t if table_t is not None else bvh.table.T
     t, prim, uv = _trace_pallas(
-        tt, origins, dirs, t_max, active,
-        rows=bvh.table.shape[0], width=bvh.table.shape[1],
-        leaf_size=bvh.leaf_size, any_hit=False)
+        bvh.nodes_t, bvh.leaves_t, origins, dirs, t_max, active,
+        rows=bvh.table.shape[0], leaf_size=bvh.leaf_size, any_hit=False)
     orig = jnp.where(prim >= 0, bvh.leaf_tris[jnp.maximum(prim, 0)], -1)
     return Hit(t, orig, uv)
 
@@ -286,9 +309,7 @@ def trace_anyhit(bvh: BVH8, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tt = table_t if table_t is not None else bvh.table.T
     _, prim, _ = _trace_pallas(
-        tt, origins, dirs, t_max, active,
-        rows=bvh.table.shape[0], width=bvh.table.shape[1],
-        leaf_size=bvh.leaf_size, any_hit=True)
+        bvh.nodes_t, bvh.leaves_t, origins, dirs, t_max, active,
+        rows=bvh.table.shape[0], leaf_size=bvh.leaf_size, any_hit=True)
     return prim >= 0

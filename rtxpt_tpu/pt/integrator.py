@@ -29,6 +29,7 @@ import numpy as np
 from ..config import (MODE_REFERENCE, NEE_DISTANT_MIP_DESCENT,
                       NEE_DISTANT_PRESAMPLED, NEE_DISTANT_UNIFORM, PTConfig,
                       PTConstants)
+from ..config import MODE_FILL_STABLE_PLANES as C_MODE_FILL
 from ..core import mathutils as mu
 from ..core import rng
 from ..ops import traverse
@@ -41,6 +42,7 @@ from ..scene.types import SceneArrays
 from . import bsdf as B
 from . import nested
 from . import shading
+from . import stableplanes as SP
 
 K_MAX_REJECTED_HITS = 16       # PathTracer.hlsli:31
 K_SPECULAR_ROUGHNESS_THRESHOLD = 0.25  # PathTracer.hlsli:29
@@ -58,7 +60,11 @@ class RenderAssets(NamedTuple):
 
 
 class PathState(NamedTuple):
-    """PathState SoA (PathState.hlsli:82-222); unpacked fields in HBM."""
+    """PathState SoA (PathState.hlsli:82-222); unpacked fields in HBM.
+
+    The sp_* block is the FILL-mode stable-planes bookkeeping
+    (PathTracerStablePlanes.hlsli FILL: branch tracking, per-plane
+    denoiser radiance routing); None outside MODE_FILL_STABLE_PLANES."""
     origin: jnp.ndarray          # (N,3)
     direction: jnp.ndarray       # (N,3)
     thp: jnp.ndarray             # (N,3)
@@ -76,6 +82,29 @@ class PathState(NamedTuple):
     env_mis: jnp.ndarray         # (N,)
     px: jnp.ndarray              # (N,) u32
     py: jnp.ndarray              # (N,) u32
+    # ---- stable-planes FILL state (None unless FILL mode) -------------
+    sp_branch: jnp.ndarray = None       # (N,) u32 stableBranchID
+    sp_plane: jnp.ndarray = None        # (N,) i32 current plane index
+    sp_on_plane: jnp.ndarray = None     # (N,) bool
+    sp_on_branch: jnp.ndarray = None    # (N,) bool
+    sp_on_dominant: jnp.ndarray = None  # (N,) bool
+    sp_base_diff: jnp.ndarray = None    # (N,) bool base scatter was diffuse
+    sp_base_delta: jnp.ndarray = None   # (N,) bool base scatter was delta
+    sp_gi_l: jnp.ndarray = None         # (N,3) secondary L for ReSTIR GI
+    sp_gi_pdf: jnp.ndarray = None       # (N,) base scatter pdf (GI init)
+    sp_gi_valid: jnp.ndarray = None     # (N,) bool GI-eligible base
+    sp_gi_thp: jnp.ndarray = None       # (N,3) throughput after base
+    #   scatter; gi_l / sp_gi_thp = unbiased Lo(secondary->base)
+    sp_delta_only: jnp.ndarray = None   # (N,) bool delta-only since plane
+    sp_bounces: jnp.ndarray = None      # (N,) i32 bounces from plane
+    sp_hit_t: jnp.ndarray = None        # (N,) accumulated sample hitT
+    sp_pend_diff: jnp.ndarray = None    # (N,4) pending diff radiance+hitT
+    sp_pend_spec: jnp.ndarray = None    # (N,4)
+    sp_secondary_l: jnp.ndarray = None  # (N,3)
+    sp_committed_diff: jnp.ndarray = None  # (N,P,4) per-plane channels
+    sp_committed_spec: jnp.ndarray = None  # (N,P,4)
+    sp_plane_branch: jnp.ndarray = None    # (N,P) u32 plane branch IDs
+    sp_dominant: jnp.ndarray = None        # (N,) i32 dominant plane
 
 
 def init_paths(cam: CameraData, px, py, cfg: PTConfig,
@@ -108,13 +137,13 @@ def init_paths(cam: CameraData, px, py, cfg: PTConfig,
 def _sample_distant(assets: RenderAssets, cfg: PTConfig, g):
     """GenerateEnvMapSample (PathTracerNEE.hlsli:70-108)."""
     if cfg.nee_distant_type == NEE_DISTANT_UNIFORM:
-        g, u2 = rng.next_2d(g)
+        g, u2 = rng.next_2d(g, allow_ld=False)
         d, pdf, le = EM.sample_uniform(assets.env, u2)
     elif cfg.nee_distant_type == NEE_DISTANT_MIP_DESCENT:
-        g, u2 = rng.next_2d(g)
+        g, u2 = rng.next_2d(g, allow_ld=False)
         d, pdf, le = EM.sample_mip_descent(assets.env, u2)
     else:  # presampled
-        g, u1 = rng.next_1d(g)
+        g, u1 = rng.next_1d(g, allow_ld=False)
         if assets.env_presampled is None:
             d, pdf, le = EM.sample_mip_descent(
                 assets.env, jnp.stack([u1, u1], -1))
@@ -150,7 +179,8 @@ def render_wavefront(assets: RenderAssets, cam: CameraData, px, py,
 
 def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                  consts: PTConstants, *, cfg: PTConfig,
-                 sub_sample_index=0, capture_first_hit: bool = False):
+                 sub_sample_index=0, capture_first_hit: bool = False,
+                 injected_hit=None):
     """Run the bounce loop from an arbitrary initial PathState (used by
     the realtime FILL pass to continue paths from the primary surface,
     PathTracerStablePlanes firstHitFromBasePlane semantics).
@@ -165,6 +195,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     nee_local = cfg.nee_local_samples if assets.lights is not None else 0
     nee_distant = cfg.nee_distant_samples if cfg.use_env_lights else 0
     max_iters = cfg.max_bounces + K_MAX_REJECTED_HITS + 2
+    fill = cfg.mode == C_MODE_FILL and path0.sp_branch is not None
 
     def sample_gen(path: PathState):
         return rng.make(path.px, path.py,
@@ -172,12 +203,15 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                         consts.sample_base_index
                         + jnp.uint32(sub_sample_index))
 
-    def body(carry):
+    def body(carry, hit_override=None):
         path, it, first, _ = carry
-        hit = traverse.trace_closest(
-            assets.bvh, assets.soup, path.origin, path.direction,
-            t_min=0.0, t_max=mu.K_MAX_RAY_TRAVEL, active=path.active,
-            leaf_size=cfg.leaf_size)
+        if hit_override is not None:
+            hit = hit_override
+        else:
+            hit = traverse.trace_closest(
+                assets.bvh, assets.soup, path.origin, path.direction,
+                t_min=0.0, t_max=mu.K_MAX_RAY_TRAVEL, active=path.active,
+                leaf_size=cfg.leaf_size)
         is_hit = path.active & hit.valid
         is_miss = path.active & ~hit.valid
 
@@ -201,9 +235,24 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                                          consts.firefly_filter_threshold,
                                          path.firefly_k)
         env_emission = env_emission * consts.noisy_radiance_attenuation
-        radiance = path.radiance + jnp.where(
-            is_miss[..., None], jnp.maximum(path.thp * env_emission, 0.0),
-            0.0)
+        if fill:
+            # FILL: sky on a stable branch was collected by BUILD
+            # (StablePlanesHandleMiss); off-branch sky goes to secondaryL
+            radiance = path.radiance
+            sp_secondary_l = path.sp_secondary_l + jnp.where(
+                (is_miss & ~path.sp_on_branch)[..., None],
+                jnp.maximum(path.thp * env_emission, 0.0), 0.0)
+            sp_hit_t = jnp.where(
+                is_miss,
+                SP.accumulate_hit_t(path.sp_hit_t, mu.K_MAX_RAY_TRAVEL,
+                                    path.sp_bounces, path.sp_delta_only),
+                path.sp_hit_t)
+            sp_pend_diff = path.sp_pend_diff
+            sp_pend_spec = path.sp_pend_spec
+        else:
+            radiance = path.radiance + jnp.where(
+                is_miss[..., None],
+                jnp.maximum(path.thp * env_emission, 0.0), 0.0)
 
         # --- HandleHit (PathTracer.hlsli:371-525)
         surf = shading.load_surface(assets.scene, hit.prim, hit.bary,
@@ -217,17 +266,19 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                               jnp.uint32(mat_iors.shape[0] - 1)
                               ).astype(jnp.int32)
         sigma = vol_abs[top_mat]
-        transmittance = jnp.exp(-sigma * hit.t[..., None])
+        # injected base hits carry camera->base length in t (for cone /
+        # sceneLength); absorption along that chain was applied by BUILD
+        absorb_t = jnp.zeros_like(hit.t) if hit_override is not None \
+            else hit.t
+        transmittance = jnp.exp(-sigma * absorb_t[..., None])
         thp = jnp.where((is_hit & in_medium)[..., None],
                         path.thp * transmittance, path.thp)
 
         # alpha test (AnyHit / Bridge::AlphaTest equivalent,
         # Sample.hlsl:408-413): MASK-mode materials below the cutoff are
         # treated as rejected hits and the path continues through
-        alpha_reject = is_hit & \
-            (assets.scene.materials.alpha_mode[sd.material_id] == 1) & \
-            (sd.opacity < assets.scene.materials.alpha_cutoff[
-                sd.material_id])
+        alpha_reject = is_hit & (surf.alpha_mode == 1) & \
+            (sd.opacity < surf.alpha_cutoff)
 
         # nested dielectrics: reject false hits
         # (PathTracerNestedDielectrics.hlsli:48-91)
@@ -246,11 +297,18 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                            path.origin)
         vertex_index = vertex_index - can_reject.astype(jnp.int32)
         rejected_hits = path.rejected_hits + can_reject.astype(jnp.int32)
-        shade = is_hit & true_int
+        # alpha-rejected MASK hits must not shade (they re-queue); round-1
+        # allowed a lane with true_int & alpha_reject to do both
+        shade = is_hit & true_int & ~alpha_reject
 
         # first true-hit capture (secondary-surface export for ReSTIR GI)
         first_pos, first_nrm, first_found = first
         cap = shade & ~first_found
+        if fill:
+            # stable planes: the GI secondary surface is the first hit
+            # after scattering off the DOMINANT plane base
+            # (Bridge::StoreSecondarySurfacePositionAndNormal gate)
+            cap = cap & (path.sp_bounces == 1) & path.sp_on_dominant
         first = (jnp.where(cap[..., None], sd.pos, first_pos),
                  jnp.where(cap[..., None],
                            jnp.where(sd.front_facing[..., None], sd.face_n,
@@ -267,9 +325,21 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         surface_emission = mu.firefly_filter(
             surface_emission, consts.firefly_filter_threshold,
             path.firefly_k) * consts.noisy_radiance_attenuation
-        radiance = radiance + jnp.where(shade[..., None],
-                                        jnp.maximum(thp * surface_emission,
-                                                    0.0), 0.0)
+        if fill:
+            # emission on the stable tree was collected by BUILD; only
+            # off-branch emission is noise to denoise (secondaryL)
+            sp_secondary_l = sp_secondary_l + jnp.where(
+                (shade & ~path.sp_on_branch)[..., None],
+                jnp.maximum(thp * surface_emission, 0.0), 0.0)
+            sp_hit_t = jnp.where(
+                shade,
+                SP.accumulate_hit_t(path.sp_hit_t, hit.t, path.sp_bounces,
+                                    path.sp_delta_only),
+                sp_hit_t)
+        else:
+            radiance = radiance + jnp.where(
+                shade[..., None],
+                jnp.maximum(thp * surface_emission, 0.0), 0.0)
 
         # HasFinishedSurfaceBounces (PathTracer.hlsli:103-109)
         finished = (vertex_index > cfg.max_bounces) | \
@@ -280,7 +350,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         # Russian roulette (PathTracer.hlsli:125-149)
         if cfg.enable_russian_roulette:
             g = rng.start_effect(g, rng.EFFECT_RUSSIAN_ROULETTE, False)
-            g, u_rr = rng.next_1d(g)
+            g, u_rr = rng.next_1d(g, allow_ld=False)
             rr_val = mu.luminance(thp)
             prob = mu.saturate(0.8 - rr_val) ** 4
             rr_kill = u_rr < prob
@@ -360,7 +430,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                     light_mis_pdf = ls.pdf
                 else:
                     sample_weight = 1.0 / nee_local
-                    g, u3l = rng.next_3d(g)
+                    g, u3l = rng.next_3d(g, allow_ld=False)
                     if cfg.nee_local_type == 2 and \
                             assets.regir is not None:
                         from ..restir import regir as RG
@@ -412,12 +482,46 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                 assets.bvh, assets.soup, all_o, all_d, t_min=0.0,
                 t_max=all_t, active=all_act, leaf_size=cfg.leaf_size)
             visible = (~occluded).reshape(k_total, n)
-            contrib = sum(
-                jnp.where(visible[i][..., None], nee_diff[i] + nee_spec[i],
-                          0.0) for i in range(k_total))
-            contrib = contrib * consts.noisy_radiance_attenuation
-            radiance = radiance + jnp.maximum(
-                pre_scatter_thp * contrib, 0.0)
+            contrib_d = sum(
+                jnp.where(visible[i][..., None], nee_diff[i], 0.0)
+                for i in range(k_total))
+            contrib_s = sum(
+                jnp.where(visible[i][..., None], nee_spec[i], 0.0)
+                for i in range(k_total))
+            atten = consts.noisy_radiance_attenuation
+            if fill:
+                # StablePlanesHandleNEE: at the plane base the diff/spec
+                # NEE goes straight into the plane's pending denoiser
+                # channels; deeper vertices lump into secondaryL. ReSTIR
+                # DI replaces the base NEE on the dominant plane.
+                cd = jnp.maximum(pre_scatter_thp * contrib_d * atten, 0.0)
+                cs = jnp.maximum(pre_scatter_thp * contrib_s * atten, 0.0)
+                restir_covered = jnp.asarray(cfg.use_restir_di) & \
+                    path.sp_on_plane & path.sp_on_dominant
+                nee_dist = sum(
+                    jnp.where(visible[i] & nee_pdf[i], nee_dists[i],
+                              mu.K_MAX_RAY_TRAVEL)
+                    for i in range(k_total)) / k_total
+                acc_t = SP.accumulate_hit_t(
+                    sp_hit_t, nee_dist, path.sp_bounces + 1,
+                    jnp.zeros((n,), bool))
+                on_base = path.sp_on_plane & ~restir_covered
+                sp_pend_diff = jnp.where(
+                    on_base[..., None],
+                    jnp.concatenate([cd, acc_t[..., None]], -1),
+                    path.sp_pend_diff)
+                sp_pend_spec = jnp.where(
+                    on_base[..., None],
+                    jnp.concatenate([cs, acc_t[..., None]], -1),
+                    path.sp_pend_spec)
+                off_base = ~path.sp_on_plane
+                sp_secondary_l = sp_secondary_l + jnp.where(
+                    off_base[..., None], cd + cs, 0.0)
+            else:
+                contrib = (contrib_d + contrib_s) * \
+                    consts.noisy_radiance_attenuation
+                radiance = radiance + jnp.maximum(
+                    pre_scatter_thp * contrib, 0.0)
 
             # scatter-side MIS for the NEXT segment (NEE.hlsli:248-280)
             non_delta_scatter = scatter_valid & ~is_delta
@@ -435,6 +539,101 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         active = (path.active & ~is_miss & ~kill_reject) & \
             (can_reject | (shade & will_scatter & scatter_valid))
 
+        sp_fields = {}
+        if fill:
+            # ---- StablePlanesOnScatter (PathTracerStablePlanes:269-...)
+            scattered = will_scatter & scatter_valid
+            was_on_plane = path.sp_on_plane & shade
+            sp_base_diff = jnp.where(was_on_plane & scattered,
+                                     is_diffuse_bounce, path.sp_base_diff)
+            sp_base_delta = jnp.where(was_on_plane & scattered, is_delta,
+                                      path.sp_base_delta)
+            lobe_id = jnp.where(is_transmission, SP.LOBE_ID_TRANSMISSION,
+                                SP.LOBE_ID_REFLECTION)
+            can_adv = path.sp_on_branch & scattered & is_delta & \
+                (vertex_index + 1 <= SP.MAX_VERTEX)
+            new_branch = jnp.where(
+                can_adv, SP.advance_branch_id(path.sp_branch, lobe_id),
+                SP.INVALID_BRANCH)
+            P = path.sp_plane_branch.shape[1]
+            onp = [SP.is_on_plane(path.sp_plane_branch[:, p], new_branch)
+                   for p in range(P)]
+            on_path = [SP.is_on_stable_path(path.sp_plane_branch[:, p],
+                                            new_branch, vertex_index + 1)
+                       for p in range(P)]
+            transfer_plane = sum(
+                jnp.where(onp[p], p, 0) for p in range(P))
+            transfer = sum(o.astype(jnp.int32) for o in onp) > 0
+            on_branch2 = can_adv & (
+                sum(o.astype(jnp.int32) for o in on_path) > 0)
+
+            # commits happen at (a) transfer onto a new plane and
+            # (b) path death this iteration
+            died = path.active & ~active
+            do_commit = (transfer & scattered) | died
+            gi_capture = jnp.asarray(cfg.use_restir_gi) & \
+                path.sp_on_dominant & ~path.sp_base_delta
+            d4 = sp_pend_diff
+            s4 = sp_pend_spec
+            sec = jnp.where((do_commit & ~gi_capture)[..., None],
+                            sp_secondary_l, 0.0)
+            d4 = jnp.where((do_commit & path.sp_base_diff)[..., None],
+                           SP.combine_hit_t(d4, sec, sp_hit_t), d4)
+            s4 = jnp.where((do_commit & ~path.sp_base_diff)[..., None],
+                           SP.combine_hit_t(s4, sec, sp_hit_t), s4)
+            sp_gi_l = path.sp_gi_l + jnp.where(
+                (do_commit & gi_capture)[..., None], sp_secondary_l, 0.0)
+            gi_base = was_on_plane & scattered & path.sp_on_dominant & \
+                ~is_delta & ~is_transmission & (bs.pdf > 0.0)
+            sp_gi_pdf = jnp.where(gi_base, bs.pdf, path.sp_gi_pdf)
+            sp_gi_valid = path.sp_gi_valid | gi_base
+            sp_gi_thp = jnp.where(gi_base[..., None], thp, path.sp_gi_thp)
+            plane_oh = (jnp.arange(P)[None, :] == path.sp_plane[:, None]) \
+                & do_commit[:, None]                      # (N,P)
+            cd = path.sp_committed_diff
+            cs_ = path.sp_committed_spec
+            cd = jnp.where(plane_oh[..., None],
+                           SP.combine_hit_t(cd, d4[:, None, :3]
+                                            * jnp.ones((1, P, 1)),
+                                            d4[:, None, 3]), cd)
+            cs_ = jnp.where(plane_oh[..., None],
+                            SP.combine_hit_t(cs_, s4[:, None, :3]
+                                             * jnp.ones((1, P, 1)),
+                                             s4[:, None, 3]), cs_)
+            # reset pending state on transfer; update plane bookkeeping
+            reset = transfer & scattered
+            zero4 = jnp.zeros((n, 4))
+            sp_fields = dict(
+                sp_branch=jnp.where(scattered, new_branch, path.sp_branch),
+                sp_plane=jnp.where(reset, transfer_plane, path.sp_plane),
+                sp_on_plane=jnp.where(can_reject, path.sp_on_plane,
+                                      reset),
+                sp_on_branch=jnp.where(scattered, on_branch2,
+                                       path.sp_on_branch),
+                sp_on_dominant=jnp.where(
+                    reset, transfer_plane == path.sp_dominant,
+                    path.sp_on_dominant),
+                sp_base_diff=sp_base_diff,
+                sp_base_delta=sp_base_delta,
+                sp_delta_only=path.sp_delta_only & (is_delta | ~scattered),
+                sp_bounces=jnp.where(
+                    reset, 0,
+                    path.sp_bounces + scattered.astype(jnp.int32)),
+                sp_hit_t=jnp.where(reset, 0.0, sp_hit_t),
+                sp_pend_diff=jnp.where(reset[..., None] |
+                                       died[..., None], zero4,
+                                       sp_pend_diff),
+                sp_pend_spec=jnp.where(reset[..., None] |
+                                       died[..., None], zero4,
+                                       sp_pend_spec),
+                sp_secondary_l=jnp.where((reset | died)[..., None], 0.0,
+                                         sp_secondary_l),
+                sp_gi_l=sp_gi_l, sp_gi_pdf=sp_gi_pdf,
+                sp_gi_valid=sp_gi_valid, sp_gi_thp=sp_gi_thp,
+                sp_committed_diff=cd, sp_committed_spec=cs_,
+                sp_plane_branch=path.sp_plane_branch,
+                sp_dominant=path.sp_dominant)
+
         new_path = PathState(
             origin=origin, direction=direction, thp=thp, radiance=radiance,
             active=active, vertex_index=vertex_index,
@@ -442,7 +641,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             scene_length=path.scene_length, firefly_k=firefly_k,
             cone_width=path.cone_width, cone_spread=cone_spread,
             interior=interior, emissive_mis=emissive_mis, env_mis=env_mis,
-            px=path.px, py=path.py)
+            px=path.px, py=path.py, **sp_fields)
 
         # --- wavefront stream compaction (the SER equivalent, SURVEY
         # section 2.7): stable-partition live paths to the FRONT of the
@@ -464,14 +663,40 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     first0 = (jnp.zeros((n, 3), jnp.float32),
               jnp.zeros((n, 3), jnp.float32),
               jnp.zeros((n,), bool))
-    lane0 = jnp.arange(n, dtype=jnp.int32)
-    path, _, first, lane0 = jax.lax.while_loop(
-        cond, body, (path0, jnp.asarray(0, jnp.int32), first0, lane0))
-    # un-permute back to caller lane order
-    radiance = jnp.zeros((n, 3), jnp.float32).at[lane0].set(path.radiance)
+    # morton-order the wavefront so each traversal TILE holds spatially
+    # coherent rays (fewer worst-lane iterations per tile); the lane0
+    # permutation already rides the compaction machinery and un-permutes
+    # at the end
+    perm0 = jnp.argsort(mu.morton2d(path0.px, path0.py))
+    path0 = jax.tree_util.tree_map(lambda a: a[perm0], path0)
+    lane0 = perm0.astype(jnp.int32)
+    carry = (path0, jnp.asarray(0, jnp.int32), first0, lane0)
+    if injected_hit is not None:
+        # FILL resumes from the BUILD-stored plane-0 base hit without
+        # re-tracing the camera->base chain (firstHitFromBasePlane,
+        # RTXPT/Sample.hlsl:67): run the first bounce outside the loop
+        # with the stored hit
+        inj = jax.tree_util.tree_map(lambda a: a[perm0], injected_hit)
+        carry = body(carry, hit_override=inj)
+    path, _, first, lane0 = jax.lax.while_loop(cond, body, carry)
+
+    def unperm(a):
+        return jnp.zeros_like(a).at[lane0].set(a)
+
+    radiance = unperm(path.radiance)
+    if fill:
+        out = dict(
+            committed_diff=unperm(path.sp_committed_diff),
+            committed_spec=unperm(path.sp_committed_spec),
+            gi_l=unperm(path.sp_gi_l),
+            gi_pdf=unperm(path.sp_gi_pdf),
+            gi_valid=unperm(path.sp_gi_valid),
+            gi_thp=unperm(path.sp_gi_thp))
+        if capture_first_hit:
+            out["first"] = tuple(unperm(a) for a in first)
+        return out
     if capture_first_hit:
-        first_out = tuple(
-            jnp.zeros_like(a).at[lane0].set(a) for a in first)
+        first_out = tuple(unperm(a) for a in first)
         return radiance, first_out
     return radiance
 

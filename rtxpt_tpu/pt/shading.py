@@ -66,6 +66,8 @@ class SurfaceData(NamedTuple):
     bsdf_data: B.BSDFData
     emission: jnp.ndarray       # (N,3)
     interior_ior: jnp.ndarray   # (N,) the material's own IoR
+    alpha_mode: jnp.ndarray = None     # (N,) i32 (0 opaque/1 mask/2 blend)
+    alpha_cutoff: jnp.ndarray = None   # (N,)
 
 
 def _compute_tangent_space(n, tangent_w):
@@ -112,22 +114,41 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     ray_dir: (N,3); outside_ior: (N,) or None (vacuum).
     """
     prim = jnp.maximum(prim, 0)
-    tri = scene.indices[prim]                       # (N,3)
+    # packed fetches: ONE row gather per table (tri_pack/vert_pack/
+    # mat_pack; scene/types.py pack_gather_planes). On TPU the rows are
+    # fetched with MXU one-hot matmuls (ops/gather_pallas) — XLA row
+    # gathers sustain only ~1.5 GB/s on the target chip
+    from ..ops import gather_pallas as GPL
+    from ..ops.traverse import _use_pallas
+    # measured (tools/ logs, round 2): XLA row gathers from scene-sized
+    # tables are ~as fast as the MXU path once properly synced, so the
+    # MXU gather is opt-in (it still wins for larger tables)
+    import os as _os
+    use_mxu = scene.tri_gp is not None and _use_pallas() and \
+        _os.environ.get("RTXPT_MXU_GATHER", "0") == "1"
+    if use_mxu:
+        tp = GPL.gather_rows(scene.tri_gp, prim).astype(jnp.int32)
+    else:
+        tp = scene.tri_pack[prim]                   # (N,4) i32
+    tri = tp[..., :3]
+    mid = tp[..., 3]
     w = jnp.stack([1.0 - bary[..., 0] - bary[..., 1],
                    bary[..., 0], bary[..., 1]], axis=-1)  # (N,3)
 
-    def interp(attr):
-        vals = attr[tri]                            # (N,3,C)
-        return jnp.sum(vals * w[..., None], axis=-2)
+    if use_mxu:
+        vp = GPL.gather_rows(scene.vert_gp, tri)    # (N,3,12)
+    else:
+        vp = scene.vert_pack[tri]                   # (N,3,12)
+    vi = jnp.sum(vp * w[..., None], axis=-2)        # interpolated (N,12)
 
-    pos = interp(scene.positions)
-    nrm = mu.safe_normalize(interp(scene.normals))
-    tan = interp(scene.tangents)
-    uv = interp(scene.uvs)
+    pos = vi[..., 0:3]
+    nrm = mu.safe_normalize(vi[..., 3:6])
+    tan = vi[..., 6:10]
+    uv = vi[..., 10:12]
 
-    p0 = scene.positions[tri[..., 0]]
-    p1 = scene.positions[tri[..., 1]]
-    p2 = scene.positions[tri[..., 2]]
+    p0 = vp[:, 0, 0:3]
+    p1 = vp[:, 1, 0:3]
+    p2 = vp[:, 2, 0:3]
     face_n = mu.safe_normalize(jnp.cross(p1 - p0, p2 - p0))
 
     v = -ray_dir
@@ -141,27 +162,33 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     n, t, b = _adjust_shading_normal(n, v, oriented_ng, tan)
 
     # ---- material fetch + conversion (BridgeDonut:444-521)
-    mid = scene.tri_mat[prim]
-    m = scene.materials
-    base_color = m.base_color[mid]
-    metalness = m.metalness[mid]
-    roughness = m.roughness[mid]
-    mat_ior = m.ior[mid]
-    transmission = m.transmission[mid]
-    diffuse_transmission = m.diffuse_transmission[mid]
-    thin = m.thin_surface[mid]
-    emissive = m.emissive[mid]
+    from ..scene import types as ST
+    if use_mxu:
+        mrow = GPL.gather_rows(scene.mat_gp, mid)   # (N,20)
+    else:
+        mrow = scene.mat_pack[mid]                  # (N,20)
+    base_color = mrow[..., ST.MP_BASE:ST.MP_BASE + 3]
+    metalness = mrow[..., ST.MP_METAL]
+    roughness = mrow[..., ST.MP_ROUGH]
+    mat_ior = mrow[..., ST.MP_IOR]
+    transmission = mrow[..., ST.MP_TRANS]
+    diffuse_transmission = mrow[..., ST.MP_DIFF_TRANS]
+    thin = mrow[..., ST.MP_THIN] != 0.0
+    emissive = mrow[..., ST.MP_EMISSIVE:ST.MP_EMISSIVE + 3]
+    shadow_fade = mrow[..., ST.MP_SHADOW_FADE]
     opacity = jnp.ones_like(roughness)
     nested_priority = jnp.minimum(
-        K_MAX_NESTED_PRIORITY, 1 + m.nested_priority[mid]).astype(jnp.int32)
+        K_MAX_NESTED_PRIORITY,
+        1 + mrow[..., ST.MP_NESTED_PRIO].astype(jnp.int32)
+    ).astype(jnp.int32)
 
     # ---- texture taps with ray-cone LOD (sampleGeometryMaterial +
     # createTextureSampler, BridgeDonut:337-352,411)
     if scene.textures is not None:
         from ..scene import textures as TX
-        uv0 = scene.uvs[tri[..., 0]]
-        uv1 = scene.uvs[tri[..., 1]]
-        uv2 = scene.uvs[tri[..., 2]]
+        uv0 = vp[:, 0, 10:12]
+        uv1 = vp[:, 1, 10:12]
+        uv2 = vp[:, 2, 10:12]
         e1uv = uv1 - uv0
         e2uv = uv2 - uv0
         uv_area = 0.5 * jnp.abs(e1uv[..., 0] * e2uv[..., 1]
@@ -173,19 +200,19 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
             lod = TX.ray_cone_lod(cone_width, cos_t, uv_area, world_area)
         else:
             lod = None
-        base_tap = TX.sample_stack(scene.textures, m.base_tex[mid], uv,
-                                   lod)
+        base_tex = mrow[..., ST.MP_BASE_TEX].astype(jnp.int32)
+        mr_tex = mrow[..., ST.MP_MR_TEX].astype(jnp.int32)
+        em_tex = mrow[..., ST.MP_EMISSIVE_TEX].astype(jnp.int32)
+        base_tap = TX.sample_stack(scene.textures, base_tex, uv, lod)
         base_color = base_color * base_tap[..., :3]
         opacity = base_tap[..., 3]
-        mr = TX.sample_stack(scene.textures, m.metal_rough_tex[mid], uv,
-                             lod)
-        has_mr = m.metal_rough_tex[mid] >= 0
+        mr = TX.sample_stack(scene.textures, mr_tex, uv, lod)
+        has_mr = mr_tex >= 0
         roughness = jnp.where(has_mr, roughness * mr[..., 1], roughness)
         metalness = jnp.where(has_mr, metalness * mr[..., 2], metalness)
-        em_tap = TX.sample_stack(scene.textures, m.emissive_tex[mid], uv,
-                                 lod)
+        em_tap = TX.sample_stack(scene.textures, em_tex, uv, lod)
         emissive = emissive * em_tap[..., :3]
-        nm = m.normal_tex[mid]
+        nm = mrow[..., ST.MP_NORMAL_TEX].astype(jnp.int32)
         has_nm = nm >= 0
         nm_tap = TX.sample_stack(scene.textures, nm, uv, lod)
         n_mapped = TX.perturb_normal(n, t, b, nm_tap)
@@ -217,10 +244,13 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
         pos=pos, v=v, n=n, t=t, b=b, uv=uv, face_n=face_n,
         vertex_n=vertex_n, front_facing=front_facing, material_id=mid,
         opacity=opacity, ior=outside_ior,
-        shadow_nol_fadeout=m.shadow_nol_fadeout[mid],
+        shadow_nol_fadeout=shadow_fade,
         thin_surface=thin, nested_priority=nested_priority)
     return SurfaceData(sd=sd, bsdf_data=data, emission=emission,
-                       interior_ior=mat_ior)
+                       interior_ior=mat_ior,
+                       alpha_mode=mrow[..., ST.MP_ALPHA_MODE].astype(
+                           jnp.int32),
+                       alpha_cutoff=mrow[..., ST.MP_ALPHA_CUTOFF])
 
 
 def update_outside_ior(surface: SurfaceData, outside_ior) -> SurfaceData:
@@ -231,7 +261,9 @@ def update_outside_ior(surface: SurfaceData, outside_ior) -> SurfaceData:
                     surface.interior_ior / outside_ior)
     data = surface.bsdf_data._replace(eta=eta)
     return SurfaceData(sd=sd, bsdf_data=data, emission=surface.emission,
-                       interior_ior=surface.interior_ior)
+                       interior_ior=surface.interior_ior,
+                       alpha_mode=surface.alpha_mode,
+                       alpha_cutoff=surface.alpha_cutoff)
 
 
 def make_wavefront_bsdf(surface: SurfaceData,

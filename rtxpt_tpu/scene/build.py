@@ -186,9 +186,23 @@ class SceneBuilder:
 
 def to_device(host: dict, textures=None) -> SceneArrays:
     """Upload host dict from SceneBuilder.finish() as a SceneArrays pytree."""
+    import numpy as _np
     import jax.numpy as jnp
+    from .types import pack_gather_planes
     mt = MaterialTable(**{k: jnp.asarray(v)
                           for k, v in host["materials"].items()})
+    # packed planes computed host-side (numpy broadcasting through the
+    # jnp API would be eager per-op dispatches on the TPU tunnel)
+    mt_np = MaterialTable(**{k: _np.asarray(v)
+                             for k, v in host["materials"].items()})
+    vp, tp, mp = pack_gather_planes(
+        _np.asarray(host["positions"]), _np.asarray(host["normals"]),
+        _np.asarray(host["tangents"]), _np.asarray(host["uvs"]),
+        _np.asarray(host["indices"]), _np.asarray(host["tri_mat"]), mt_np)
+    from ..ops import gather_pallas as GP
+    vert_gp = GP.pack_f32(vp) if GP.supported(vp.shape[0]) else None
+    tri_gp = GP.pack_i32(tp) if GP.supported(tp.shape[0]) else None
+    mat_gp = GP.pack_f32(mp) if GP.supported(mp.shape[0]) else None
     return SceneArrays(
         positions=jnp.asarray(host["positions"]),
         normals=jnp.asarray(host["normals"]),
@@ -199,4 +213,8 @@ def to_device(host: dict, textures=None) -> SceneArrays:
         tri_instance=jnp.asarray(host["tri_instance"]),
         materials=mt,
         textures=textures,
+        vert_pack=jnp.asarray(vp),
+        tri_pack=jnp.asarray(tp),
+        mat_pack=jnp.asarray(mp),
+        vert_gp=vert_gp, tri_gp=tri_gp, mat_gp=mat_gp,
     )

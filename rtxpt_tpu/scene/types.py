@@ -77,6 +77,20 @@ class SceneArrays(NamedTuple):
     textures: Optional[TextureStack]
     # NEE local lights: emissive triangle ids + analytic lights live in
     # scene/lights.py LightTable (built host-side per frame)
+    #
+    # ---- packed gather planes (derived; see pack_gather_planes) --------
+    # XLA row gathers on the target TPU cost ~1.4 ms each at 480k lanes
+    # regardless of width, so load_surface fetches ONE packed row per
+    # table instead of ~20 narrow gathers (ROADMAP item 4).
+    vert_pack: Optional[jnp.ndarray] = None   # (V,12) pos3 nrm3 tan4 uv2
+    tri_pack: Optional[jnp.ndarray] = None    # (T,4) i32 idx0..2, mat
+    mat_pack: Optional[jnp.ndarray] = None    # (M,20) f32, see layout
+    # MXU one-hot gather planes of the packed tables (ops/gather_pallas):
+    # on TPU, XLA row gathers run at ~1.5 GB/s, so load_surface fetches
+    # rows via one-hot matmuls against these instead
+    vert_gp: Optional[object] = None          # GatherPlanes of vert_pack
+    tri_gp: Optional[object] = None           # GatherPlanes of tri_pack
+    mat_gp: Optional[object] = None           # GatherPlanes of mat_pack
 
     @property
     def num_triangles(self) -> int:
@@ -85,6 +99,55 @@ class SceneArrays(NamedTuple):
     @property
     def num_vertices(self) -> int:
         return self.positions.shape[0]
+
+
+# mat_pack column layout (all f32; texture ids / modes as exact floats)
+MP_BASE = 0            # 0:3 base_color
+MP_METAL = 3
+MP_ROUGH = 4
+MP_IOR = 5
+MP_TRANS = 6
+MP_DIFF_TRANS = 7
+MP_EMISSIVE = 8        # 8:11
+MP_THIN = 11
+MP_NESTED_PRIO = 12
+MP_SHADOW_FADE = 13
+MP_BASE_TEX = 14
+MP_EMISSIVE_TEX = 15
+MP_MR_TEX = 16
+MP_NORMAL_TEX = 17
+MP_ALPHA_MODE = 18
+MP_ALPHA_CUTOFF = 19
+MP_COLS = 20
+
+
+def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
+                       materials: MaterialTable):
+    """Derive (vert_pack, tri_pack, mat_pack) from the SoA arrays.
+    Works on numpy inputs (host cold path, no eager device dispatches)
+    and on jnp/tracers (device re-pack after skinning)."""
+    xp = np if isinstance(positions, np.ndarray) else jnp
+    vert_pack = xp.concatenate(
+        [positions, normals, tangents, uvs], axis=-1)        # (V,12)
+    tri_pack = xp.concatenate(
+        [indices, tri_mat[:, None]], axis=-1)                # (T,4)
+    m = materials
+    mat_pack = xp.concatenate([
+        m.base_color,
+        m.metalness[:, None], m.roughness[:, None], m.ior[:, None],
+        m.transmission[:, None], m.diffuse_transmission[:, None],
+        m.emissive,
+        m.thin_surface[:, None].astype(jnp.float32),
+        m.nested_priority[:, None].astype(jnp.float32),
+        m.shadow_nol_fadeout[:, None],
+        m.base_tex[:, None].astype(jnp.float32),
+        m.emissive_tex[:, None].astype(jnp.float32),
+        m.metal_rough_tex[:, None].astype(jnp.float32),
+        m.normal_tex[:, None].astype(jnp.float32),
+        m.alpha_mode[:, None].astype(jnp.float32),
+        m.alpha_cutoff[:, None],
+    ], axis=-1)                                              # (M,20)
+    return vert_pack, tri_pack, mat_pack
 
 
 def default_material_table(n: int = 1) -> dict:
