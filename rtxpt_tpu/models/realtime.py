@@ -83,7 +83,8 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
     # frame, like RTXDI -- feeding back spatially-merged reservoirs
     # creates a self-reinforcing energy loop.
     if cfg.use_restir_di:
-        r = di.generate_candidates(assets, gb, px, py, frame)
+        ris = di.presample_lights(assets, frame)
+        r = di.generate_candidates(assets, gb, px, py, frame, ris=ris)
         if has_prev and prev_res is not None:
             class _PrevGB(NamedTuple):
                 normal: jnp.ndarray
@@ -264,7 +265,8 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
 
     # ---- ReSTIR DI on the dominant plane
     if cfg.use_restir_di:
-        r = di.generate_candidates(assets, gb, px, py, frame)
+        ris = di.presample_lights(assets, frame)
+        r = di.generate_candidates(assets, gb, px, py, frame, ris=ris)
         if has_prev and prev_res is not None:
             class _PrevGB(NamedTuple):
                 normal: jnp.ndarray

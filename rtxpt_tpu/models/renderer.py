@@ -61,6 +61,7 @@ class Renderer:
                  env_intensity: float = 1.0, textures=None):
         self.cfg = cfg or reference_config()
         self.camera = camera
+        self.host_scene = host_scene
         if textures is None and host_scene.get("texture_images"):
             from ..scene.textures import build_texture_stack
             textures = build_texture_stack(
@@ -162,6 +163,17 @@ class Renderer:
         self.accum = jnp.asarray(data["accum"])
         self.sample_index = int(data["sample_index"])
         return True
+
+    def animate(self, info: dict, time: float,
+                animation_index: int = 0):
+        """Per-frame skinned/animated geometry refresh (Scene::Refresh +
+        skinned BLAS updates): skins vertex ranges on device and refits
+        the BVH8 in place; subsequent renders see the new pose."""
+        from ..scene.animation import refresh_skinned
+        self.scene, self.bvh = refresh_skinned(
+            self.host_scene, info, self.scene, self.bvh, time,
+            animation_index)
+        self.assets = self.assets._replace(scene=self.scene, bvh=self.bvh)
 
     def tonemapped(self, hdr, exposure: float = 1.0,
                    auto_expose: bool = True):

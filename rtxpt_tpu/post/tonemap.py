@@ -15,6 +15,8 @@ from ..core import mathutils as mu
 OP_LINEAR = 0
 OP_REINHARD = 1
 OP_ACES = 2
+OP_HABLE_UC2 = 3      # Uncharted 2 filmic (donut HableUc2)
+OP_CLAMP = 4          # plain clamp (reference 'Clamp' operator)
 
 _HISTOGRAM_BINS = 128
 _LOG_LUM_MIN = -10.0
@@ -60,6 +62,42 @@ def reinhard(x):
     return x / (1.0 + x)
 
 
+def hable_uc2(x, white_point: float = 11.2):
+    """Uncharted 2 filmic operator (ToneMappingPasses.h HableUc2)."""
+    def f(v):
+        a, b, c, d, e, f_ = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+        return ((v * (a * v + c * b) + d * e)
+                / (v * (a * v + b) + d * f_)) - e / f_
+    return jnp.clip(f(x) / f(jnp.asarray(white_point)), 0.0, 1.0)
+
+
+# ---- white balance (ToneMappingPasses white-balance term) -------------
+# CIE 1931-ish correlated color temperature -> linear sRGB scale factors
+def white_balance_scale(temperature_k: float = 6500.0):
+    """Returns (3,) RGB multipliers that neutralize a `temperature_k`
+    illuminant (6500K = identity); Krystek/planckian-locus fit like the
+    reference's ToneMapper white-balance control."""
+    import numpy as np
+    t = float(np.clip(temperature_k, 1667.0, 25000.0)) / 1000.0
+    # planckian locus approximation (Kim et al.)
+    if t < 4.0:
+        x = (-0.2661239 / t ** 3 - 0.2343589 / t ** 2
+             + 0.8776956 / t + 0.179910)
+    else:
+        x = (-3.0258469 / t ** 3 + 2.1070379 / t ** 2
+             + 0.2226347 / t + 0.240390)
+    y = -3.0 * x * x + 2.87 * x - 0.275
+    # xyY -> XYZ (Y=1) -> linear sRGB
+    xyz = np.asarray([x / y, 1.0, (1 - x - y) / y], np.float64)
+    m = np.asarray([[3.2404542, -1.5371385, -0.4985314],
+                    [-0.9692660, 1.8760108, 0.0415560],
+                    [0.0556434, -0.2040259, 1.0572252]])
+    rgb = np.maximum(m @ xyz, 1e-4)
+    scale = 1.0 / rgb
+    scale /= scale.mean()
+    return jnp.asarray(scale, jnp.float32)
+
+
 def linear_to_srgb(x):
     x = jnp.clip(x, 0.0, 1.0)
     return jnp.where(x <= 0.0031308, x * 12.92,
@@ -68,16 +106,33 @@ def linear_to_srgb(x):
 
 
 def tonemap(rgb, exposure=1.0, operator: int = OP_ACES,
-            auto_expose: bool = False):
-    """HDR (H,W,3) -> display sRGB (H,W,3) in [0,1]."""
+            auto_expose: bool = False, white_balance_k: float = 6500.0,
+            prev_exposure=None, adaptation_rate: float = 0.0):
+    """HDR (H,W,3) -> display sRGB (H,W,3) in [0,1].
+
+    `white_balance_k`: illuminant temperature (6500 = neutral).
+    `prev_exposure` + `adaptation_rate` enable temporal eye adaptation
+    (exponential approach like ToneMappingPasses::AdvanceFrame): returns
+    (srgb, new_exposure) instead when prev_exposure is given."""
     scale = jnp.asarray(exposure, jnp.float32)
     if auto_expose:
         scale = scale * auto_exposure(rgb)
+    if prev_exposure is not None and adaptation_rate > 0.0:
+        scale = prev_exposure + (scale - prev_exposure) * adaptation_rate
     x = jnp.maximum(rgb, 0.0) * scale
+    if white_balance_k != 6500.0:
+        x = x * white_balance_scale(white_balance_k)
     if operator == OP_ACES:
         y = aces_fitted(x)
     elif operator == OP_REINHARD:
         y = reinhard(x)
+    elif operator == OP_HABLE_UC2:
+        y = hable_uc2(x)
+    elif operator == OP_CLAMP:
+        y = jnp.clip(x, 0.0, 1.0)
     else:
         y = x
-    return linear_to_srgb(y)
+    out = linear_to_srgb(y)
+    if prev_exposure is not None:
+        return out, scale
+    return out

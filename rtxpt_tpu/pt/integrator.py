@@ -643,14 +643,18 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             interior=interior, emissive_mis=emissive_mis, env_mis=env_mis,
             px=path.px, py=path.py, **sp_fields)
 
-        # --- wavefront stream compaction (the SER equivalent, SURVEY
-        # section 2.7): stable-partition live paths to the FRONT of the
-        # wavefront so traversal tiles whose lanes are all dead exit
-        # their while_loop immediately. Pixel order is restored at the
-        # end via `lane0` (original lane ids ride the permutation).
-        # Cost: one bool argsort + a ~34-array gather (~0.3 ms at 480k
-        # lanes) vs trace cost proportional to live-lane tiles.
-        perm = jnp.argsort(~active, stable=True)
+        # --- wavefront stream compaction + coherence sort (the SER
+        # equivalent, SURVEY section 2.7): stable-partition live paths
+        # to the FRONT of the wavefront (all-dead traversal tiles exit
+        # their while_loop immediately) and order live lanes by ray
+        # direction OCTANT so each tile traverses similar paths (fewer
+        # worst-lane iterations — NvReorderThread's coherence job).
+        # Pixel order is restored at the end via `lane0`.
+        octant = ((direction[..., 0] < 0).astype(jnp.int32)
+                  + 2 * (direction[..., 1] < 0).astype(jnp.int32)
+                  + 4 * (direction[..., 2] < 0).astype(jnp.int32))
+        sort_key = jnp.where(active, octant, 8)
+        perm = jnp.argsort(sort_key, stable=True)
         new_path = jax.tree_util.tree_map(lambda a: a[perm], new_path)
         first = jax.tree_util.tree_map(lambda a: a[perm], first)
         lane0 = carry[3][perm]

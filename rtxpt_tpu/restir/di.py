@@ -83,15 +83,104 @@ def eval_target(assets, gb: GBuffer, light, uv):
     return p_hat, contrib_d, contrib_s, direction, distance
 
 
+class RISTiles(NamedTuple):
+    """Pre-sampled candidate tiles (RtxdiPass 'Pre-sample Lights' /
+    'Pre-sample Environment', RTXDI/RtxdiPass.cpp:297-331): candidate
+    generation becomes a cheap tile fetch instead of a per-pixel
+    power-CDF search + area computation."""
+    light: jnp.ndarray     # (TILES*SIZE,) i32 (LIGHT_ENV for env entries)
+    uv: jnp.ndarray        # (TILES*SIZE, 2)
+    inv_pdf: jnp.ndarray   # (TILES*SIZE,) 1/src_pdf (0 = invalid entry)
+    tiles: int
+    size: int
+
+
+EFFECT_RESTIR_PRESAMPLE = 19
+
+
+def presample_lights(assets, sample_index, tiles: int = 32,
+                     size: int = 256, env_fraction: float = 0.5
+                     ) -> Optional[RISTiles]:
+    """Build the per-frame RIS tile pool (local power-CDF + env
+    importance samples interleaved)."""
+    lt = assets.lights
+    count = tiles * size
+    eid = jnp.arange(count, dtype=jnp.uint32)
+    g = rng.make(eid, jnp.zeros_like(eid), jnp.uint32(0),
+                 jnp.uint32(sample_index))
+    g = rng.start_effect(g, EFFECT_RESTIR_PRESAMPLE)
+    g, u3 = rng.next_3d(g, allow_ld=False)
+    g, u_env = rng.next_2d(g, allow_ld=False)
+    is_env = (eid % jnp.uint32(max(int(1.0 / max(env_fraction, 1e-3)), 1))
+              ) == 0
+
+    if lt is not None:
+        li_idx = jnp.clip(jnp.searchsorted(lt.cdf, u3[..., 0]), 0,
+                          lt.count - 1).astype(jnp.int32)
+        pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
+        tri = assets.scene.indices[jnp.maximum(lt.tri[li_idx], 0)]
+        p0 = assets.scene.positions[tri[..., 0]]
+        p1 = assets.scene.positions[tri[..., 1]]
+        p2 = assets.scene.positions[tri[..., 2]]
+        area = 0.5 * jnp.linalg.norm(jnp.cross(p1 - p0, p2 - p0), axis=-1)
+        kind = lt.kind[li_idx]
+        r_s = lt.radius[li_idx]
+        inv_area = jnp.where(
+            kind == LI.LIGHT_TRIANGLE, 1.0 / jnp.maximum(area, 1e-9),
+            jnp.where(kind == LI.LIGHT_SPHERE,
+                      1.0 / jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9),
+                      1.0))
+        src_pdf = pick_pdf * inv_area
+        l_light = li_idx
+        l_uv = u3[..., 1:3]
+        l_inv = jnp.where(src_pdf > 0.0, 1.0 / jnp.maximum(src_pdf,
+                                                           1e-20), 0.0)
+    else:
+        l_light = jnp.full((count,), LIGHT_INVALID, jnp.int32)
+        l_uv = jnp.zeros((count, 2))
+        l_inv = jnp.zeros((count,))
+        is_env = jnp.ones((count,), bool)
+
+    d, e_pdf, _ = EM.sample_mip_descent(assets.env, u_env)
+    e_uv = mu.encode_oct(d)
+    e_inv = jnp.where(e_pdf > 0.0, 1.0 / jnp.maximum(e_pdf, 1e-20), 0.0)
+
+    light = jnp.where(is_env, LIGHT_ENV, l_light)
+    uv = jnp.where(is_env[..., None], e_uv, l_uv)
+    inv_pdf = jnp.where(is_env, e_inv, l_inv)
+    return RISTiles(light=light, uv=uv, inv_pdf=inv_pdf, tiles=tiles,
+                    size=size)
+
+
 def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
-                        num_local: int = 4, num_env: int = 4) -> Reservoir:
+                        num_local: int = 4, num_env: int = 4,
+                        ris: Optional[RISTiles] = None) -> Reservoir:
     """GenerateInitialSamples.hlsl: RIS over power-sampled local lights +
-    env-map importance samples."""
+    env-map importance samples. With `ris` tiles, candidates come from
+    the pre-sampled pool (each pixel reads one tile, RTXDI-style)."""
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
     g = rng.start_effect(g, EFFECT_RESTIR_INITIAL)
     r = Reservoir.empty(n)
     lt = assets.lights
+
+    if ris is not None:
+        # one tile per pixel block (coherent reads), random entry per
+        # candidate
+        g, u_tile = rng.next_1d(g, allow_ld=False)
+        tile = (jnp.minimum((u_tile * ris.tiles).astype(jnp.int32),
+                            ris.tiles - 1)) * ris.size
+        for _ in range(num_local + num_env):
+            g, u2 = rng.next_2d(g, allow_ld=False)
+            entry = tile + jnp.minimum((u2[..., 0] * ris.size
+                                        ).astype(jnp.int32), ris.size - 1)
+            light = ris.light[entry]
+            uv = ris.uv[entry]
+            inv_pdf = ris.inv_pdf[entry]
+            p_hat, _, _, _, _ = eval_target(assets, gb, light, uv)
+            w = p_hat * inv_pdf
+            r = update(r, light, uv, w, p_hat, u2[..., 1])
+        return r
 
     for _ in range(num_local if lt is not None else 0):
         g, u3 = rng.next_3d(g)
@@ -176,20 +265,58 @@ def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
                      light=jnp.where(sim, pr.light, LIGHT_INVALID))
     # re-evaluate prev sample's target at the current pixel
     p_hat, _, _, _, _ = eval_target(assets, gb, pr.light, pr.uv)
-    return merge(cur, pr, p_hat, u)
+    out = merge(cur, pr, p_hat, u)
+    return boiling_filter(out, width, height)
+
+
+def boiling_filter(r: Reservoir, width, height,
+                   strength: float = 8.0) -> Reservoir:
+    """RTXDI boiling filter: temporal reuse can latch onto one huge-weight
+    sample that 'boils' across the screen; kill reservoirs whose
+    contribution weight exceeds `strength` x the local (16x16 block)
+    average."""
+    w = r.contribution_weight() * r.target          # expected radiance
+    img = w.reshape(height, width)
+    bs = 16
+    hp = (height + bs - 1) // bs * bs
+    wp = (width + bs - 1) // bs * bs
+    padded = jnp.pad(img, ((0, hp - height), (0, wp - width)))
+    blocks = padded.reshape(hp // bs, bs, wp // bs, bs)
+    avg = blocks.mean(axis=(1, 3))
+    avg_img = jnp.repeat(jnp.repeat(avg, bs, axis=0), bs,
+                         axis=1)[:height, :width].reshape(-1)
+    boiling = w > strength * jnp.maximum(avg_img, 1e-6)
+    return Reservoir(
+        light=jnp.where(boiling, LIGHT_INVALID, r.light),
+        uv=r.uv,
+        w_sum=jnp.where(boiling, 0.0, r.w_sum),
+        m=r.m,
+        target=jnp.where(boiling, 0.0, r.target))
 
 
 def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
                      width, height, sample_index, taps: int = 2,
-                     radius: float = 20.0) -> Reservoir:
+                     radius: float = 20.0,
+                     unbiased: bool = True) -> Reservoir:
     """SpatialResampling.hlsl: merge nearby reservoirs with geometry
-    tests (biased variant with similarity rejection)."""
+    tests.
+
+    unbiased=True applies the ReSTIR 1/Z debiasing (Bitterli et al.
+    2020, Alg. 6; RTXDI's 'unbiased' spatial mode): after selecting a
+    sample, the normalization M is replaced by Z = sum of the M of every
+    participating pixel whose own target function supports the selected
+    sample — evaluated by re-shading the selected sample at each
+    neighbor's surface. Removes the darkening bias of naive reuse."""
+    import jax
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
     g = rng.start_effect(g, EFFECT_RESTIR_SPATIAL)
     normal2 = gb.normal
     z2 = gb.view_z
     r = cur
+    m_center = cur.m
+    tap_flats = []
+    tap_ms = []
     for _ in range(taps):
         g, u2 = rng.next_2d(g)
         g, u = rng.next_1d(g)
@@ -209,7 +336,19 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
                          light=jnp.where(sim, nb.light, LIGHT_INVALID))
         p_hat, _, _, _, _ = eval_target(assets, gb, nb.light, nb.uv)
         r = merge(r, nb, p_hat, u)
-    return r
+        tap_flats.append(flat)
+        tap_ms.append(nb.m)
+    if not unbiased:
+        return r
+    # ---- 1/Z normalization over participating pixels
+    # center's own support for the SELECTED sample
+    p_c, _, _, _, _ = eval_target(assets, gb, r.light, r.uv)
+    z = m_center * (p_c > 0.0)
+    for flat, m_q in zip(tap_flats, tap_ms):
+        gb_q = jax.tree_util.tree_map(lambda a: a[flat], gb)
+        p_q, _, _, _, _ = eval_target(assets, gb_q, r.light, r.uv)
+        z = z + m_q * (p_q > 0.0)
+    return r._replace(m=jnp.maximum(z, 1.0))
 
 
 def final_shade(assets, gb: GBuffer, r: Reservoir

@@ -176,3 +176,58 @@ def refit_bvh8(bvh8, positions, indices):
         row_hi = row_hi.at[ids].set(tot_hi)
 
     return bvh8.replace_table(table)
+
+
+# ---------------------------------------------------------------------------
+# Per-frame skinned-scene refresh (Scene::Refresh equivalent)
+# ---------------------------------------------------------------------------
+
+def joint_matrices(world, skin: dict) -> np.ndarray:
+    """(J,3,4) world * inverseBind per joint (skinning_cs constants)."""
+    out = np.zeros((len(skin["joints"]), 3, 4), np.float32)
+    for k, node_id in enumerate(skin["joints"]):
+        w = world[node_id]
+        ib = skin["inverse_bind"][k]
+        out[k, :, :3] = w[:, :3] @ ib[:, :3]
+        out[k, :, 3] = w[:, :3] @ ib[:, 3] + w[:, 3]
+    return out
+
+
+def refresh_skinned(host: dict, info: dict, scene, bvh8, time: float,
+                    animation_index: int = 0):
+    """Animate node TRS -> recompute joint matrices -> skin vertex
+    ranges on device -> refit the BVH8. Returns (scene', bvh8').
+
+    The per-frame equivalent of Scene::Refresh + skinned-BLAS updates
+    (donut Scene.cpp:98,745-800; RTXPT Sample.cpp:1355-1380)."""
+    import copy
+
+    from .gltf import compute_world_transforms
+
+    gf = info["gltf"]
+    nodes = copy.deepcopy(gf.json.get("nodes", []))
+    anims = parse_animations(gf)
+    if anims and animation_index < len(anims):
+        apply_animation(nodes, anims[animation_index], time)
+    world = compute_world_transforms(gf.json, nodes)
+
+    positions = scene.positions
+    normals = scene.normals
+    vert_pack = scene.vert_pack
+    for b in host.get("skin_bindings", []):
+        skin = info["skins"][b["skin"]]
+        jm = jnp.asarray(joint_matrices(world, skin))
+        p, n = skin_vertices(jnp.asarray(b["rest_positions"]),
+                             jnp.asarray(b["rest_normals"]),
+                             jnp.asarray(b["joints"]),
+                             jnp.asarray(b["weights"]), jm)
+        s, c = b["vertex_start"], b["vertex_count"]
+        positions = positions.at[s:s + c].set(p)
+        normals = normals.at[s:s + c].set(n)
+        if vert_pack is not None:
+            vert_pack = vert_pack.at[s:s + c, 0:3].set(p)
+            vert_pack = vert_pack.at[s:s + c, 3:6].set(n)
+    scene = scene._replace(positions=positions, normals=normals,
+                           vert_pack=vert_pack)
+    bvh8 = refit_bvh8(bvh8, positions, scene.indices)
+    return scene, bvh8

@@ -23,6 +23,8 @@ class Mesh:
     tangents: Optional[np.ndarray] = None   # (V,4)
     uvs: Optional[np.ndarray] = None
     material: int = 0                # material id
+    joints: Optional[np.ndarray] = None     # (V,4) i32 skin joints
+    weights: Optional[np.ndarray] = None    # (V,4) f32 skin weights
 
 
 @dataclasses.dataclass
@@ -30,6 +32,7 @@ class Instance:
     mesh: int                        # mesh id
     transform: np.ndarray            # (3,4) affine, row-major
     material_override: int = -1
+    skin: int = -1                   # skin id (scene/gltf skins list)
 
 
 def compute_vertex_normals(positions: np.ndarray,
@@ -101,12 +104,12 @@ class SceneBuilder:
         return len(self.meshes) - 1
 
     def add_instance(self, mesh: int, transform: Optional[np.ndarray] = None,
-                     material_override: int = -1) -> int:
+                     material_override: int = -1, skin: int = -1) -> int:
         if transform is None:
             transform = np.eye(3, 4, dtype=np.float32)
         self.instances.append(Instance(mesh, np.asarray(transform,
                                                         np.float32),
-                                       material_override))
+                                       material_override, skin))
         return len(self.instances) - 1
 
     def finish(self) -> dict:
@@ -114,6 +117,7 @@ class SceneBuilder:
             self.add_material()
         pos_l, nrm_l, tan_l, uv_l, idx_l, mat_l, inst_l = \
             [], [], [], [], [], [], []
+        skin_bindings = []
         voffset = 0
         for iid, inst in enumerate(self.instances):
             m = self.meshes[inst.mesh]
@@ -150,6 +154,20 @@ class SceneBuilder:
                    else m.material)
             mat_l.append(np.full((m.indices.shape[0],), mid, np.int32))
             inst_l.append(np.full((m.indices.shape[0],), iid, np.int32))
+            if inst.skin >= 0 and m.joints is not None:
+                # skinned instance: remember object-space rest pose +
+                # joints/weights; per-frame skinning replaces this vertex
+                # range (donut Scene::Refresh skinning_cs path)
+                skin_bindings.append(dict(
+                    instance=iid, skin=inst.skin,
+                    vertex_start=voffset, vertex_count=p.shape[0],
+                    rest_positions=np.asarray(m.positions, np.float32),
+                    rest_normals=np.asarray(
+                        m.normals if m.normals is not None else
+                        compute_vertex_normals(m.positions, m.indices),
+                        np.float32),
+                    joints=np.asarray(m.joints, np.int32),
+                    weights=np.asarray(m.weights, np.float32)))
             voffset += p.shape[0]
 
         mats = {k: np.stack(v) if np.ndim(v[0]) else np.array(v)
@@ -181,6 +199,7 @@ class SceneBuilder:
             tri_instance=np.concatenate(inst_l) if inst_l
             else np.zeros((0,), np.int32),
             materials=mats,
+            skin_bindings=skin_bindings,
         )
 
 

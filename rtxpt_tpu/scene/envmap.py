@@ -39,6 +39,8 @@ class EnvMap(NamedTuple):
     radiance_flat: jnp.ndarray = None   # (H*W, 3)
     pdf_flat: jnp.ndarray = None        # (H*W,) solid-angle pdf per texel
     quads: tuple = ()          # per level l>=1: (h_{l-1}*w_{l-1}, 4)
+    radiance_quad: jnp.ndarray = None   # (H*W, 12) [self,right,down,diag]
+    #   RGB quad rows: bilinear eval = ONE row gather + lerp
 
     @property
     def height(self) -> int:
@@ -99,18 +101,42 @@ def make_envmap(radiance, intensity: float = 1.0,
         quads.append(q.reshape(-1, 4))
     pdf_flat = (mips[-1] / (total * jnp.maximum(omega[:, None], 1e-20))
                 ).reshape(-1)
+    # bilinear quad rows: right neighbor wraps in azimuth, down clamps
+    r_right = jnp.roll(radiance, -1, axis=1)
+    r_down = jnp.concatenate([radiance[1:], radiance[-1:]], axis=0)
+    r_diag = jnp.roll(r_down, -1, axis=1)
+    radiance_quad = jnp.concatenate(
+        [radiance, r_right, r_down, r_diag], axis=-1).reshape(-1, 12)
     return EnvMap(radiance=radiance, mips=mips, total=total,
                   omega_rows=omega,
                   intensity=jnp.asarray(intensity, jnp.float32),
                   enabled=jnp.asarray(enabled),
                   radiance_flat=radiance.reshape(-1, 3),
-                  pdf_flat=pdf_flat, quads=tuple(quads))
+                  pdf_flat=pdf_flat, quads=tuple(quads),
+                  radiance_quad=radiance_quad)
 
 
 def eval_dir(env: EnvMap, d):
-    """EnvMap::Eval (Distant.hlsli:22-60): radiance along direction."""
+    """EnvMap::Eval (Distant.hlsli:22-60): BILINEARLY filtered radiance
+    along direction (the reference samples a filtered cubemap; nearest
+    gave blocky skies at low bake resolutions — round-1 weak #14). One
+    quad-row gather + lerp."""
     uv = dir_to_uv(d)
     h, w = env.height, env.width
+    if env.radiance_quad is not None:
+        fx = uv[..., 0] * w - 0.5
+        fy = uv[..., 1] * h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        xi = jnp.mod(x0.astype(jnp.int32), w)
+        yi = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        q = env.radiance_quad[yi * w + xi]           # (...,12)
+        top = q[..., 0:3] * (1 - tx) + q[..., 3:6] * tx
+        bot = q[..., 6:9] * (1 - tx) + q[..., 9:12] * tx
+        out = (top * (1 - ty) + bot * ty) * env.intensity
+        return jnp.where(env.enabled, out, 0.0)
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     if env.radiance_flat is not None:

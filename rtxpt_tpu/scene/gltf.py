@@ -217,13 +217,23 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
                    if "TANGENT" in attrs else None)
             uv = (gf.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
                   if "TEXCOORD_0" in attrs else None)
+            joints = (gf.accessor(attrs["JOINTS_0"]).astype(np.int32)
+                      if "JOINTS_0" in attrs else None)
+            weights = None
+            if "WEIGHTS_0" in attrs:
+                weights = gf.accessor(attrs["WEIGHTS_0"]).astype(
+                    np.float32)
+                weights = weights / np.maximum(
+                    weights.sum(-1, keepdims=True), 1e-6)
             if "indices" in p:
                 idx = gf.accessor(p["indices"]).astype(np.int32)
             else:
                 idx = np.arange(pos.shape[0], dtype=np.int32)
             idx = idx.reshape(-1, 3)
             mid = mat_ids[p["material"]] if "material" in p else mat_ids[0]
-            prims.append(sb.add_mesh(Mesh(pos, idx, nrm, tan, uv, mid)))
+            prims.append(sb.add_mesh(Mesh(pos, idx, nrm, tan, uv, mid,
+                                          joints=joints,
+                                          weights=weights)))
         mesh_prims.append(prims)
 
     # ---- node hierarchy -> world transforms + instances
@@ -237,8 +247,15 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
         xf = _compose(parent, _node_transform(node))
         world[ni] = xf
         if "mesh" in node:
+            skin = node.get("skin", -1)
             for mesh_id in mesh_prims[node["mesh"]]:
-                sb.add_instance(mesh_id, xf)
+                if skin >= 0:
+                    # skinned: geometry is produced in world space by the
+                    # joint matrices; instance transform stays identity
+                    # (donut SkinnedMeshInstance semantics)
+                    sb.add_instance(mesh_id, None, skin=skin)
+                else:
+                    sb.add_instance(mesh_id, xf)
         if "camera" in node:
             cameras.append((g["cameras"][node["camera"]], xf))
         ext = node.get("extensions", {}).get("KHR_lights_punctual")
@@ -266,10 +283,47 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
                    m.get("emissiveTexture", {}).get("index", -1)):
             if 0 <= ti < n_tex:
                 srgb[ti] = True
+    # ---- skins (JOINTS/WEIGHTS parsed per primitive above)
+    skins = []
+    for sk in g.get("skins", []):
+        ib = (gf.accessor(sk["inverseBindMatrices"]).astype(np.float32)
+              if "inverseBindMatrices" in sk else None)
+        joints = sk.get("joints", [])
+        if ib is None:
+            inv = np.tile(np.eye(3, 4, dtype=np.float32),
+                          (len(joints), 1, 1))
+        else:
+            # glTF column-major 4x4 -> (3,4) affine rows
+            m44 = ib.reshape(-1, 4, 4)
+            inv = np.ascontiguousarray(
+                np.transpose(m44, (0, 2, 1))[:, :3, :4])
+        skins.append(dict(joints=list(joints), inverse_bind=inv))
+
     info = dict(cameras=cameras, lights=punctual_lights, gltf=gf,
                 builder=sb, textures=decode_textures(gf),
-                texture_srgb=srgb)
+                texture_srgb=srgb, skins=skins)
     return host, info
+
+
+def compute_world_transforms(g: dict, nodes: list) -> list:
+    """World (3,4) transform per node from (possibly animated) node
+    dicts — the per-frame SceneGraph::Refresh transform sweep."""
+    world = [None] * len(nodes)
+    ident = np.eye(3, 4, dtype=np.float32)
+
+    def visit(ni, parent):
+        xf = _compose(parent, _node_transform(nodes[ni]))
+        world[ni] = xf
+        for c in nodes[ni].get("children", []):
+            visit(c, xf)
+
+    scene = g.get("scenes", [{}])[g.get("scene", 0)]
+    for root in scene.get("nodes", range(len(nodes))):
+        visit(root, ident)
+    for i, w in enumerate(world):
+        if w is None:
+            world[i] = ident
+    return world
 
 
 def decode_textures(gf: GltfFile):

@@ -19,9 +19,16 @@ from ..core import mathutils as mu
 VIEWS = [
     "FirstHitBarycentrics", "FirstHitFaceNormal", "FirstHitShadingNormal",
     "FirstHitDiffuse", "FirstHitSpecular", "FirstHitRoughness",
-    "FirstHitMetallic", "FirstHitEmissive", "ViewZ", "MotionVectors",
-    "Depth", "DenoiserDiffRadiance", "DenoiserSpecRadiance",
-    "ReSTIRDIOutput", "ReSTIRGIOutput",
+    "FirstHitMetallic", "FirstHitEmissive", "FirstHitOpacity",
+    "FirstHitThp", "FirstHitViewDir", "MaterialID", "ViewZ",
+    "MotionVectors", "Depth", "DenoiserDiffRadiance",
+    "DenoiserSpecRadiance", "ReSTIRDIOutput", "ReSTIRGIOutput",
+    # stable-planes explorer (StablePlaneDebugVizColor + per-plane data;
+    # needs stable_planes= from RealtimeRenderer.last_stable_planes)
+    "StablePlaneCount", "StablePlaneDominant", "StablePlaneBranchViz",
+    "StablePlaneVirtualDepth", "StableRadiance",
+    # NaN/Inf sanitizer (Sample.hlsl:217-243 cross pattern)
+    "NaNSanitizer",
 ]
 
 
@@ -32,15 +39,60 @@ def _normalize01(x):
 
 
 def render_debug_view(view: str, assets, cam, width: int, height: int,
-                      frame_outputs=None):
+                      frame_outputs=None, stable_planes=None,
+                      color=None):
     """Render one debug channel of the primary surface to (H,W,3).
 
     Pipeline-output views (Denoiser*/ReSTIR*) read from `frame_outputs`
     (a models.realtime.FrameOutputs, e.g. RealtimeRenderer.last_outputs);
-    surface views retrace the G-buffer."""
+    StablePlane* views read `stable_planes` (a pt.stableplanes.
+    StablePlanes, e.g. RealtimeRenderer.last_stable_planes);
+    NaNSanitizer paints non-finite pixels of `color` with the
+    reference's cross pattern; surface views retrace the G-buffer."""
     import jax
     from ..pt import gbuffer as GB
     shp2 = (height, width)
+    if view == "NaNSanitizer":
+        if color is None:
+            raise ValueError("NaNSanitizer needs color=")
+        img = color.reshape(shp2 + (3,))
+        bad = ~jnp.isfinite(img).all(-1)
+        # dilate into a cross pattern so single pixels are visible
+        cross = bad
+        for d in range(1, 4):
+            cross = cross | jnp.roll(bad, d, 0) | jnp.roll(bad, -d, 0) \
+                | jnp.roll(bad, d, 1) | jnp.roll(bad, -d, 1)
+        mark = jnp.asarray([1.0, 0.0, 1.0])
+        safe = jnp.where(jnp.isfinite(img), img, 0.0)
+        return jnp.where(cross[..., None], mark,
+                         jnp.clip(safe / (1.0 + safe), 0.0, 1.0))
+    if view.startswith("StablePlane") or view == "StableRadiance":
+        from ..pt import stableplanes as SPM
+        if stable_planes is None:
+            raise ValueError(
+                f"debug view {view} needs stable_planes (render a "
+                "stable-planes realtime frame first)")
+        sp = stable_planes
+        P = sp.count
+        valid = sp.branch_id != SPM.INVALID_BRANCH      # (N,P)
+        if view == "StablePlaneCount":
+            c = valid.sum(-1).astype(jnp.float32) / P
+            out = jnp.stack([c, 1.0 - c, jnp.zeros_like(c)], -1)
+        elif view == "StablePlaneDominant":
+            cols = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+            out = cols[jnp.clip(sp.dominant, 0, 2)]
+        elif view == "StablePlaneBranchViz":
+            # plane presence as RGB channels (DebugVizColor scheme)
+            out = jnp.stack(
+                [valid[:, p].astype(jnp.float32) if p < P
+                 else jnp.zeros(valid.shape[0]) for p in range(3)], -1)
+        elif view == "StablePlaneVirtualDepth":
+            z = jnp.where(valid, sp.scene_length, 0.0).max(-1)
+            out = jnp.tile(_normalize01(z)[..., None], (1, 3))
+        else:  # StableRadiance
+            sr = sp.stable_radiance
+            out = jnp.clip(sr / (1.0 + sr), 0.0, 1.0)
+        return jnp.clip(out.reshape(shp2 + (3,)), 0.0, 1.0)
     if view in ("DenoiserDiffRadiance", "DenoiserSpecRadiance",
                 "ReSTIRDIOutput", "ReSTIRGIOutput"):
         if frame_outputs is None:
@@ -86,6 +138,18 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
             gb.surface.bsdf_data.metallic[..., None], (1, 3))
     elif view == "FirstHitEmissive":
         out = gb.emission
+    elif view == "FirstHitOpacity":
+        out = jnp.tile(gb.surface.sd.opacity[..., None], (1, 3))
+    elif view == "FirstHitThp":
+        out = gb.psr_thp
+    elif view == "FirstHitViewDir":
+        out = gb.view_dir * 0.5 + 0.5
+    elif view == "MaterialID":
+        mid = gb.surface.sd.material_id.astype(jnp.uint32)
+        from ..core import rng as _rng
+        h = _rng.hash32(mid)
+        out = jnp.stack([(h & 255) / 255.0, ((h >> 8) & 255) / 255.0,
+                         ((h >> 16) & 255) / 255.0], -1)
     elif view in ("ViewZ", "Depth"):
         z = jnp.where(gb.valid, gb.view_z, 0.0)
         out = jnp.tile(_normalize01(z)[..., None], (1, 3))
