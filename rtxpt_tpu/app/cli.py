@@ -15,7 +15,8 @@ import time
 def build_arg_parser():
     p = argparse.ArgumentParser("rtxpt_tpu headless renderer")
     p.add_argument("--scene", default="programmer-art",
-                   help="'programmer-art' | path to .gltf/.glb/.scene.json")
+                   help="'programmer-art' | 'city' (Bistro-class, "
+                   "~400k tris) | path to .gltf/.glb/.scene.json")
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
     p.add_argument("--spp", type=int, default=16,
@@ -58,6 +59,11 @@ def load_scene(args):
         sb = procedural.build_programmer_art(diffuse_only=args.diffuse_only)
         host = sb.finish()
         cam = procedural.default_camera(args.width, args.height)
+        return host, cam, None
+    if args.scene == "city":
+        # Bistro-class stress scene (BASELINE config 5 fixture, ~400k tris)
+        host = procedural.build_city().finish()
+        cam = procedural.city_camera(args.width, args.height)
         return host, cam, None
     if args.scene.endswith((".gltf", ".glb")):
         from ..scene import gltf

@@ -78,9 +78,18 @@ class Renderer:
         # carry baked opacity micro-masks (the OMM equivalent)
         from ..scene.omm import bake_opacity_masks
         tri_omm = bake_opacity_masks(host_scene)
-        self.bvh = bvh_mod.collapse_bvh8(self.bvh2, self.scene.positions,
-                                         self.scene.indices,
-                                         tri_omm=tri_omm)
+        n_tris = host_scene["indices"].shape[0]
+        if n_tris > 45_000:
+            # Bistro-scale: the single table would blow the VMEM budget;
+            # two-level TLAS/BLAS-style partition (ops/bvh2l.py)
+            from ..ops import bvh2l
+            self.bvh = bvh2l.build_two_level(
+                host_scene["positions"], host_scene["indices"],
+                leaf_size=self.cfg.leaf_size, tri_omm=tri_omm)
+        else:
+            self.bvh = bvh_mod.collapse_bvh8(
+                self.bvh2, self.scene.positions, self.scene.indices,
+                tri_omm=tri_omm)
         if env_radiance is None:
             env_radiance = EM.bake_procedural_sky()
         self.env = EM.make_envmap(env_radiance, intensity=env_intensity,

@@ -1,0 +1,286 @@
+"""Two-level BVH8: the TLAS/BLAS-scale acceleration structure.
+
+The single-table MXU traversal (ops/traverse_pallas.py) pins the whole
+BVH8 in VMEM, which caps it at ~4096 rows (~50k triangles). For
+Bistro-class scenes the tree is split in two levels, mirroring the
+reference's TLAS-over-BLAS shape (RTXPT/Sample.cpp:1353-1421) but cut by
+occupancy rather than by instance:
+
+  * the scene BVH2 is partitioned into K spatial SUBTREES of bounded
+    size (a cut through the SAH tree, so subtrees are tight and
+    disjoint in primitive ranges);
+  * each subtree collapses into an independent BVH8 (own bf16 planes),
+    padded to a common row count S and stacked (K, ...);
+  * the TOP level is just the K subtree AABBs: a trace slab-tests all K
+    boxes per ray in one fused XLA pass (K is small, 8-64), then
+    lax.scan's over subtrees running the SAME single-table Pallas
+    kernel per subtree with `t_max = best-so-far` (distance-culled) and
+    per-ray active masks — all-dead tiles exit in one iteration, so the
+    sweep costs roughly one traversal of the subtrees a ray actually
+    overlaps.
+
+This keeps one battle-tested kernel for both scales instead of a
+separate two-level traversal program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh import BVH2, LEAF_MAX, build_bvh, collapse_bvh8
+from .intersect import Hit
+
+
+@jax.tree_util.register_pytree_node_class
+class BVH8TwoLevel:
+    def __init__(self, sub_nodes_t, sub_leaves_t, sub_tables,
+                 sub_leaf_tris, sub_leaf_omm, sub_aabb, leaf_size: int,
+                 rows: int):
+        self.sub_nodes_t = sub_nodes_t     # (K, 72, S) bf16
+        self.sub_leaves_t = sub_leaves_t   # (K, 29*ls, S) bf16
+        self.sub_tables = sub_tables       # (K, S, W) f32 (XLA fallback)
+        self.sub_leaf_tris = sub_leaf_tris  # (K, S*ls) i32 global tri ids
+        self.sub_leaf_omm = sub_leaf_omm   # (K, S*ls) i32 opacity masks
+        self.sub_aabb = sub_aabb           # (K, 6) f32 min.xyz max.xyz
+        self.leaf_size = leaf_size
+        self.rows = rows                   # S (static)
+
+    @property
+    def num_subtrees(self) -> int:
+        return self.sub_aabb.shape[0]
+
+    def tree_flatten(self):
+        return ((self.sub_nodes_t, self.sub_leaves_t, self.sub_tables,
+                 self.sub_leaf_tris, self.sub_leaf_omm, self.sub_aabb),
+                (self.leaf_size, self.rows))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, leaf_size=aux[0], rows=aux[1])
+
+
+def _node_tri_ranges(bvh: BVH2):
+    """Per-BVH2-node [start, end) into the leaf order (bottom-up)."""
+    ci = np.asarray(bvh.child_idx)
+    n = ci.shape[0]
+    start = np.zeros(n, np.int64)
+    end = np.zeros(n, np.int64)
+    ranges = {}
+    for level in bvh.levels[::-1]:
+        for nid in level:
+            bounds = []
+            for code in ci[nid]:
+                if code < 0:
+                    v = -int(code) - 1
+                    s = v >> 5
+                    bounds.append((s, s + (v & LEAF_MAX)))
+                else:
+                    bounds.append(ranges[code])
+            lo = min(b[0] for b in bounds)
+            hi = max(b[1] for b in bounds)
+            ranges[nid] = (lo, hi)
+            start[nid], end[nid] = lo, hi
+    return start, end
+
+
+def build_two_level(positions, indices, *, leaf_size: int = 4,
+                    leaf_collapse: int = 16, tri_omm=None,
+                    max_rows: int = 4096,
+                    cap_tris: int = None) -> BVH8TwoLevel:
+    """Partition the scene along a SAH-tree cut and build per-subtree
+    BVH8s. cap_tris defaults to a conservative estimate that keeps each
+    collapsed subtree under max_rows; subtrees exceeding the cap are
+    re-split."""
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32)
+    top = build_bvh(positions, indices, leaf_size=leaf_size)
+    start, end = _node_tri_ranges(top)
+    ci = np.asarray(top.child_idx)
+    order = np.asarray(top.order)
+    if cap_tris is None:
+        cap_tris = max_rows * leaf_collapse // 3   # conservative fill
+
+    # DFS cut: a node becomes a subtree root when its range fits the cap
+    roots = []
+
+    def cut(code):
+        if code < 0:
+            v = -int(code) - 1
+            roots.append((v >> 5, (v >> 5) + (v & LEAF_MAX)))
+            return
+        lo, hi = int(start[code]), int(end[code])
+        if hi - lo <= cap_tris:
+            roots.append((lo, hi))
+            return
+        for c in ci[code]:
+            if c != -1:
+                cut(int(c))
+
+    import sys
+    sys.setrecursionlimit(100000)
+    cut(0)
+    # merge adjacent tiny ranges so K stays small
+    roots.sort()
+    merged = []
+    for lo, hi in roots:
+        if merged and hi - merged[-1][0] <= cap_tris and \
+                merged[-1][1] == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+
+    subs = []
+    for lo, hi in merged:
+        tri_ids = order[lo:hi]
+        sub_idx = indices[tri_ids]
+        sub_omm = None if tri_omm is None else np.asarray(tri_omm)[tri_ids]
+        b2 = build_bvh(positions, sub_idx, leaf_size=leaf_size)
+        b8 = collapse_bvh8(b2, positions, sub_idx,
+                           leaf_collapse=leaf_collapse, tri_omm=sub_omm)
+        if b8.table.shape[0] > max_rows:
+            raise ValueError(
+                f"subtree rows {b8.table.shape[0]} > {max_rows}; lower "
+                "cap_tris")
+        # remap local tri ids -> global
+        lt = np.asarray(b8.leaf_tris)
+        gl = np.where(lt >= 0, tri_ids[np.maximum(lt, 0)], -1)
+        p = positions[sub_idx.reshape(-1)]
+        aabb = np.concatenate([p.min(0), p.max(0)])
+        subs.append((b8, gl.astype(np.int32), aabb))
+
+    k = len(subs)
+    s_rows = max(b8.table.shape[0] for b8, _, _ in subs)
+    width = subs[0][0].table.shape[1]
+    ls = leaf_collapse
+    nodes_t = np.zeros((k, 72, s_rows), np.float32)
+    leaves_t = np.zeros((k, 29 * ls, s_rows), np.float32)
+    tables = np.zeros((k, s_rows, width), np.float32)
+    leaf_tris = np.full((k, s_rows * ls), -1, np.int32)
+    leaf_omms = np.full((k, s_rows * ls), 0xFFFF, np.int32)
+    aabbs = np.zeros((k, 6), np.float32)
+    import ml_dtypes
+    bf = np.dtype(ml_dtypes.bfloat16)
+    nodes_bf = np.zeros((k, 72, s_rows), bf)
+    leaves_bf = np.zeros((k, 29 * ls, s_rows), bf)
+    for i, (b8, gl, aabb) in enumerate(subs):
+        r = b8.table.shape[0]
+        tables[i, :r] = np.asarray(b8.table)
+        nodes_bf[i, :, :r] = np.asarray(b8.nodes_t)
+        leaves_bf[i, :, :r] = np.asarray(b8.leaves_t)
+        leaf_tris[i, :r * ls] = gl
+        leaf_omms[i, :r * ls] = np.asarray(b8.leaf_omm)
+        aabbs[i] = aabb
+    return BVH8TwoLevel(
+        sub_nodes_t=jnp.asarray(nodes_bf),
+        sub_leaves_t=jnp.asarray(leaves_bf),
+        sub_tables=jnp.asarray(tables),
+        sub_leaf_tris=jnp.asarray(leaf_tris),
+        sub_leaf_omm=jnp.asarray(leaf_omms),
+        sub_aabb=jnp.asarray(aabbs),
+        leaf_size=ls, rows=s_rows)
+
+
+def _top_slabs(tl: BVH8TwoLevel, origins, dirs, t_min, t_max):
+    """(N,K) hit mask + entry t for the K subtree AABBs."""
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
+                          jnp.where(dirs < 0, -1e-12, 1e-12), dirs)
+    bmin = tl.sub_aabb[:, 0:3]                    # (K,3)
+    bmax = tl.sub_aabb[:, 3:6]
+    t0 = (bmin[None] - origins[:, None]) * inv[:, None]    # (N,K,3)
+    t1 = (bmax[None] - origins[:, None]) * inv[:, None]
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), t_min)
+    tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1),
+                     jnp.broadcast_to(t_max[:, None], tn.shape))
+    return tn <= tf, tn
+
+
+def _use_pallas():
+    from .traverse import _use_pallas as up
+    return up()
+
+
+def trace_closest(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
+                  active=None) -> Hit:
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
+    use_pallas = _use_pallas()
+
+    def body(carry, s):
+        best_t, best_prim, best_u, best_v = carry
+        want = active & jnp.take(hit_k, s, axis=1) & \
+            (jnp.take(tn_k, s, axis=1) < best_t)
+        if use_pallas:
+            from .traverse_pallas import _trace_pallas
+            nodes_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_nodes_t, s, 0, keepdims=False)
+            leaves_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_leaves_t, s, 0, keepdims=False)
+            t, prim, uv = _trace_pallas(
+                nodes_s, leaves_s, origins, dirs, best_t, want,
+                rows=tl.rows, leaf_size=tl.leaf_size, any_hit=False)
+            u, v = uv[..., 0], uv[..., 1]
+        else:
+            from .traverse import _trace8
+            table_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_tables, s, 0, keepdims=False)
+            omm_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_leaf_omm, s, 0, keepdims=False)
+            t, prim, uv, _ = _trace8(
+                table_s, origins, dirs, jnp.float32(t_min), best_t, want,
+                leaf_size=tl.leaf_size, any_hit=False, leaf_omm=omm_s)
+            u, v = uv[..., 0], uv[..., 1]
+        lt_s = jax.lax.dynamic_index_in_dim(tl.sub_leaf_tris, s, 0,
+                                            keepdims=False)
+        orig = jnp.where(prim >= 0, lt_s[jnp.maximum(prim, 0)], -1)
+        found = (prim >= 0) & (t < best_t)
+        best_prim = jnp.where(found, orig, best_prim)
+        best_u = jnp.where(found, u, best_u)
+        best_v = jnp.where(found, v, best_v)
+        best_t = jnp.where(found, t, best_t)
+        return (best_t, best_prim, best_u, best_v), None
+
+    init = (t_max, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,)), jnp.zeros((n,)))
+    (bt, bp, bu, bv), _ = jax.lax.scan(
+        body, init, jnp.arange(tl.num_subtrees))
+    return Hit(bt, bp, jnp.stack([bu, bv], -1))
+
+
+def trace_anyhit(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
+                 active=None):
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
+    use_pallas = _use_pallas()
+
+    def body(found, s):
+        want = active & ~found & jnp.take(hit_k, s, axis=1)
+        if use_pallas:
+            from .traverse_pallas import _trace_pallas
+            nodes_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_nodes_t, s, 0, keepdims=False)
+            leaves_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_leaves_t, s, 0, keepdims=False)
+            _, prim, _ = _trace_pallas(
+                nodes_s, leaves_s, origins, dirs, t_max, want,
+                rows=tl.rows, leaf_size=tl.leaf_size, any_hit=True)
+        else:
+            from .traverse import _trace8
+            table_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_tables, s, 0, keepdims=False)
+            omm_s = jax.lax.dynamic_index_in_dim(
+                tl.sub_leaf_omm, s, 0, keepdims=False)
+            _, prim, _, _ = _trace8(
+                table_s, origins, dirs, jnp.float32(t_min), t_max, want,
+                leaf_size=tl.leaf_size, any_hit=True, leaf_omm=omm_s)
+        return found | (prim >= 0), None
+
+    found, _ = jax.lax.scan(body, jnp.zeros((n,), bool),
+                            jnp.arange(tl.num_subtrees))
+    return found

@@ -263,6 +263,10 @@ def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if hasattr(bvh, "sub_aabb"):  # two-level (Bistro-scale)
+        from . import bvh2l
+        return bvh2l.trace_closest(bvh, origins, dirs, t_min, t_max,
+                                   active)
     if hasattr(bvh, "table"):  # unified BVH8
         from . import traverse_pallas as TP
         if _use_pallas() and TP.pallas_supported(bvh):
@@ -290,6 +294,10 @@ def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if hasattr(bvh, "sub_aabb"):  # two-level (Bistro-scale)
+        from . import bvh2l
+        return bvh2l.trace_anyhit(bvh, origins, dirs, t_min, t_max,
+                                  active)
     if hasattr(bvh, "table"):  # unified BVH8
         from . import traverse_pallas as TP
         if _use_pallas() and TP.pallas_supported(bvh):

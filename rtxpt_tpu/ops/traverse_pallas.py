@@ -100,7 +100,20 @@ def _slab(ox, oy, oz, ix, iy, iz, bnds, t_min, t_max):
     return tn <= tf, tn
 
 
+def _kernel_tile(rows: int) -> int:
+    """Lane-tile size: the onehot intermediate is (rows, TILE) bf16 in
+    VMEM; big subtree tables (two-level path) shrink the tile to stay
+    under the 16 MB scoped-vmem budget."""
+    return 1024 if rows <= 1024 else 512
+
+
+def _kernel_cond_every(rows: int) -> int:
+    return COND_EVERY if rows <= 1024 else 1
+
+
 def _make_kernel(rows: int, leaf_size: int, any_hit: bool):
+    TILE = _kernel_tile(rows)
+    cond_every = _kernel_cond_every(rows)
 
     def kernel(nodes_ref, leaves_ref, o_ref, d_ref, tmax_ref, act_ref,
                t_out, prim_out, u_out, v_out):
@@ -226,7 +239,7 @@ def _make_kernel(rows: int, leaf_size: int, any_hit: bool):
             return (stack, sp, it + 1)
 
         def body(carry):
-            for _ in range(COND_EVERY):
+            for _ in range(cond_every):
                 carry = step(carry)
             return carry
 
@@ -243,6 +256,7 @@ def _make_kernel(rows: int, leaf_size: int, any_hit: bool):
 def _trace_pallas(nodes_t, leaves_t, origins, dirs, t_max, active,
                   rows: int, leaf_size: int, any_hit: bool):
     n = origins.shape[0]
+    TILE = _kernel_tile(rows)
     n_pad = _round_up(max(n, TILE), TILE)
     pad = n_pad - n
     o = jnp.pad(origins, ((0, pad), (0, 0))).T            # (3, n_pad)
