@@ -456,11 +456,15 @@ class RealtimeRenderer(Renderer):
     Sample::Render equivalents)."""
 
     def __init__(self, host_scene, camera, cfg: Optional[C.PTConfig] = None,
-                 **kw):
+                 mesh=None, **kw):
+        """mesh: optional jax.sharding.Mesh — when it spans >1 device the
+        post pipeline (denoise+TAA) runs row-sharded with halo exchange
+        (parallel/meshutils.denoise_taa_sharded)."""
         cfg = cfg or realtime_config(use_restir_di=True,
                                      use_restir_gi=True,
                                      denoiser_enabled=True)
         super().__init__(host_scene, camera, cfg, **kw)
+        self.mesh = mesh
         self.frame_index = 0
         self.prev_cam = camera
         self.prev_reservoir = None
@@ -525,17 +529,24 @@ class RealtimeRenderer(Renderer):
 
         # ---- stage 2: denoise + compose + TAA (post pipeline)
         use_den = self.cfg.denoiser_enabled if denoise is None else denoise
-        # stage 2 fused into one jit (PostProcess + Denoise + TAA): one
-        # device dispatch instead of ~10 (the axon tunnel charges per
-        # dispatch)
-        post_key = (width, height, use_den, taa,
-                    self.den_diff is not None, self.taa_state is not None)
-        if post_key not in self._post_jit:
-            self._post_jit[post_key] = jax.jit(functools.partial(
-                _post_frame, use_den=use_den, use_taa=taa))
-        color, self.den_diff, self.den_spec, self.taa_state = \
-            self._post_jit[post_key](out, self.den_diff, self.den_spec,
-                                     self.taa_state)
+        if self.mesh is not None and self.mesh.devices.size > 1 and \
+                use_den:
+            # multi-chip: row-sharded post with halo exchange
+            color, self.den_diff, self.den_spec, self.taa_state = \
+                self._post_sharded(out, taa)
+        else:
+            # stage 2 fused into one jit (PostProcess + Denoise + TAA):
+            # one device dispatch instead of ~10 (the axon tunnel
+            # charges per dispatch)
+            post_key = (width, height, use_den, taa,
+                        self.den_diff is not None,
+                        self.taa_state is not None)
+            if post_key not in self._post_jit:
+                self._post_jit[post_key] = jax.jit(functools.partial(
+                    _post_frame, use_den=use_den, use_taa=taa))
+            color, self.den_diff, self.den_spec, self.taa_state = \
+                self._post_jit[post_key](out, self.den_diff,
+                                         self.den_spec, self.taa_state)
 
         # feedback state
         self.last_outputs = out  # debug-view source (ShaderDebug views)
@@ -549,6 +560,35 @@ class RealtimeRenderer(Renderer):
             color = self._apply_taau(
                 color, out.motion, display_size, jit)
         return color
+
+    def _post_sharded(self, out: FrameOutputs, taa: bool):
+        """Multi-chip post: demodulate, then halo-exchanged sharded
+        denoise per channel, compose, sharded TAA (the production
+        consumer of parallel/halo.py)."""
+        from ..parallel import meshutils
+        eps = 1e-3
+        diff_in = (out.di_diffuse + out.indirect_diffuse) / \
+            jnp.maximum(out.diffuse_albedo, eps)
+        spec_in = (out.di_specular + out.indirect_specular) / \
+            jnp.maximum(out.specular_albedo, eps)
+        diff_f, den_diff, _ = meshutils.denoise_taa_sharded(
+            self.mesh, self.den_diff, None, diff_in, out.normal,
+            out.view_z, out.motion, use_taa=False)
+        spec_f, den_spec, _ = meshutils.denoise_taa_sharded(
+            self.mesh, self.den_spec, None, spec_in, out.normal,
+            out.view_z, out.motion, iterations=3, use_taa=False)
+        color = out.emission_bg + out.psr_thp * (
+            diff_f * out.diffuse_albedo + spec_f * out.specular_albedo)
+        taa_state = self.taa_state
+        if taa:
+            from ..post import taa as taa_mod
+            if taa_state is None:
+                taa_state = taa_mod.TAAState(
+                    history=jnp.zeros_like(color),
+                    valid=jnp.asarray(False))
+            color, taa_state = taa_mod.resolve(taa_state, color,
+                                               out.motion)
+        return color, den_diff, den_spec, taa_state
 
     def _apply_taau(self, color, motion, display_size, jitter):
         """DLSS-slot upscaler: render-res color -> display-res output."""

@@ -52,3 +52,66 @@ def test_sharded_render_matches_single_device():
     sharded = np.asarray(meshutils.render_image_sharded(
         r.assets, cam2, cfg, consts, w, h, mesh))
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_post_matches_single_device():
+    """Sharded denoise+TAA (halo-exchanged) == single-device output for
+    in-halo motion (the production consumer of parallel/halo.py)."""
+    from rtxpt_tpu.denoise import relax
+    from rtxpt_tpu.parallel import meshutils
+    from rtxpt_tpu.post import taa as taa_mod
+
+    h, w = 160, 48
+    rng = np.random.default_rng(0)
+    rad = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    nrm = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 1))
+    z = jnp.ones((h, w), jnp.float32)
+    mot = jnp.zeros((h, w, 2), jnp.float32)
+
+    mesh = meshutils.make_mesh(jax.devices()[:4])
+    c_sh, den_sh, taa_sh = meshutils.denoise_taa_sharded(
+        mesh, None, None, rad, nrm, z, mot)
+    c1, den1 = relax.denoise(None, rad, nrm, z, mot)
+    c1, taa1 = taa_mod.resolve(
+        taa_mod.TAAState(history=jnp.zeros_like(rad),
+                         valid=jnp.asarray(False)), c1, mot)
+    # interior must match exactly; the global image BORDER rows differ
+    # by design (the halo path edge-clamps the spatial-variance taps
+    # where convolve2d zero-pads — the halo behavior is the correct one)
+    sl = slice(32, -32)
+    np.testing.assert_allclose(np.asarray(c_sh)[sl], np.asarray(c1)[sl],
+                               rtol=2e-4, atol=2e-5)
+    # temporal state identical everywhere (accumulation is pointwise)
+    np.testing.assert_allclose(np.asarray(den_sh.radiance),
+                               np.asarray(den1.radiance), atol=1e-6)
+    # second frame exercises reprojection through the sharded state
+    rad2 = rad * 0.5
+    c_sh2, _, _ = meshutils.denoise_taa_sharded(
+        mesh, den_sh, taa_sh, rad2, nrm, z, mot)
+    c2, _ = relax.denoise(den1, rad2, nrm, z, mot)
+    c2, _ = taa_mod.resolve(taa1, c2, mot)
+    np.testing.assert_allclose(np.asarray(c_sh2)[sl],
+                               np.asarray(c2)[sl], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_realtime_sharded_post_smoke():
+    """RealtimeRenderer with a multi-device mesh routes the post stage
+    through the halo-exchanged sharded path."""
+    from rtxpt_tpu.models.realtime import RealtimeRenderer
+    from rtxpt_tpu.models.renderer import realtime_config
+    from rtxpt_tpu.parallel import meshutils
+    from rtxpt_tpu.scene import procedural
+
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(48, 40)
+    cfg = realtime_config(use_restir_di=False, use_restir_gi=False,
+                          denoiser_enabled=True, max_bounces=2,
+                          max_diffuse_bounces=1)
+    mesh = meshutils.make_mesh(jax.devices()[:4])
+    r = RealtimeRenderer(host, cam, cfg, mesh=mesh)
+    for _ in range(2):
+        img = np.asarray(r.render_frame(48, 40))
+    assert img.shape == (40, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
