@@ -42,6 +42,19 @@ def build_arg_parser():
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--no-auto-expose", action="store_true")
     p.add_argument("--sky-scale", type=float, default=1.0)
+    p.add_argument("--env", default=None,
+                   help="equirect environment texture (.hdr/.exr/.png) "
+                   "instead of the procedural sky")
+    p.add_argument("--photo-denoise", action="store_true",
+                   help="reference mode: run the offline photo-mode "
+                   "denoiser on the result (the OptiX/OIDN slot)")
+    p.add_argument("--preset", choices=["ref-vs-realtime"], default=None,
+                   help="named config preset (LocalConfig equivalent); "
+                   "ref-vs-realtime: realtime stripped to match the "
+                   "reference estimator (A/B oracle)")
+    p.add_argument("--stable-planes", action="store_true",
+                   help="realtime: full 3-plane stable-planes "
+                   "decomposition (BUILD/FILL) instead of PSR-lite")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--debug-view", default=None,
                    help="render a debug channel instead of the beauty "
@@ -93,18 +106,31 @@ def _run_realtime(args, host, cam, env, frames: int) -> int:
     from ..post.tonemap import tonemap
     from ..utils import image as IM
 
-    cfg = realtime_config(use_restir_di=True, use_restir_gi=True,
-                          denoiser_enabled=True,
-                          max_bounces=args.max_bounces,
-                          max_diffuse_bounces=args.max_diffuse_bounces
-                          or 3,
-                          nee_distant_samples=1, nee_local_samples=1)
+    if args.preset == "ref-vs-realtime":
+        # LocalConfig REF_VS_REALTIME (LocalConfig.cpp:40-57): realtime
+        # stripped to be the same estimator as reference mode
+        cfg = realtime_config(use_restir_di=False, use_restir_gi=False,
+                              denoiser_enabled=False,
+                              use_stable_planes=args.stable_planes,
+                              max_bounces=args.max_bounces,
+                              max_diffuse_bounces=args.max_diffuse_bounces
+                              or 3,
+                              nee_distant_samples=1, nee_local_samples=1)
+    else:
+        cfg = realtime_config(use_restir_di=True, use_restir_gi=True,
+                              denoiser_enabled=True,
+                              use_stable_planes=args.stable_planes,
+                              max_bounces=args.max_bounces,
+                              max_diffuse_bounces=args.max_diffuse_bounces
+                              or 3,
+                              nee_distant_samples=1, nee_local_samples=1)
     r = RealtimeRenderer(host, cam, cfg, env_radiance=env)
     t0 = time.time()
     times = [t0]
     img = None
     for i in range(max(frames, 1)):
-        img = r.render_frame(args.width, args.height)
+        taa_on = args.preset != "ref-vs-realtime"
+        img = r.render_frame(args.width, args.height, taa=taa_on)
         jax.block_until_ready(img)
         times.append(time.time())
         if not args.quiet and (i % max(1, frames // 8) == 0
@@ -154,6 +180,8 @@ def main(argv=None) -> int:
         from ..config import apply_scene_settings
         cfg = apply_scene_settings(cfg, extra["settings"])
     env = extra.get("env_radiance")
+    if args.env:
+        env = EM.load_equirect(args.env)
     if env is None:
         env = EM.bake_procedural_sky(sky_scale=args.sky_scale)
     analytic = extra.get("analytic_lights")
@@ -197,6 +225,11 @@ def main(argv=None) -> int:
 
     hdr = r.render(args.width, args.height, spp, not args.no_jitter,
                    progress)
+    if args.photo_denoise:
+        from ..denoise.offline import photo_denoise_auto
+        hdr = photo_denoise_auto(r, hdr, args.width, args.height)
+        if not args.quiet:
+            print("photo-mode denoise applied (offline OIDN-slot)")
     srgb = r.tonemapped(hdr, exposure=args.exposure,
                         auto_expose=not args.no_auto_expose)
     import jax

@@ -101,9 +101,41 @@ class Renderer:
             lights=self.lights)
         self._render_jit = jax.jit(functools.partial(
             integrator.render_wavefront, cfg=self.cfg))
+        self._batch_jit = {}
         # accumulation state (resumable: buffer + index are the checkpoint)
         self.accum = None
         self.sample_index = 0
+
+    def _render_batch_fn(self, k: int):
+        """k accumulation samples in ONE device dispatch (lax.scan over
+        sample indices — the reference loops dispatchRays per sample;
+        the tunnel charges ~10 ms per dispatch, so batching matters)."""
+        cfg = self.cfg
+
+        def fn(assets, cam0, px, py, start):
+            a1 = jnp.float32(0.7548776662466927)
+            a2 = jnp.float32(0.5698402909980532)
+
+            def body(total, s):
+                idx = (start + s).astype(jnp.float32)
+                jit = jnp.stack([((0.5 + a1 * idx) % 1.0) - 0.5,
+                                 ((0.5 + a2 * idx) % 1.0) - 0.5])
+                cam = cam0._replace(jitter=jit)
+                consts = C.PTConstants(
+                    firefly_filter_threshold=jnp.float32(0.0),
+                    nee_min_radiance_threshold=jnp.float32(1e-5),
+                    texlod_bias=jnp.float32(0.0),
+                    sample_base_index=(start + s).astype(jnp.uint32),
+                    noisy_radiance_attenuation=jnp.float32(1.0))
+                rad = integrator.render_wavefront(assets, cam, px, py,
+                                                  consts, cfg=cfg)
+                return total + rad, None
+
+            total, _ = jax.lax.scan(
+                body, jnp.zeros((px.shape[0], 3), jnp.float32),
+                jnp.arange(k, dtype=jnp.uint32))
+            return total
+        return jax.jit(fn)
 
     def _pixel_grid(self, width: int, height: int):
         yy, xx = np.mgrid[0:height, 0:width]
@@ -137,19 +169,51 @@ class Renderer:
         return radiance.reshape(height, width, 3)
 
     def render(self, width: int, height: int, spp: int,
-               jitter_aa: bool = True, progress=None):
-        """Reference-mode accumulation of `spp` samples -> HDR (H,W,3)."""
+               jitter_aa: bool = True, progress=None,
+               batch: int = 1):
+        """Reference-mode accumulation of `spp` samples -> HDR (H,W,3).
+
+        batch > 1 runs scan-batches of samples per dispatch; measured on
+        the tunnel this LOSES to the default pipelined per-sample
+        dispatches (async dispatch already hides the launch latency), so
+        it is opt-in — useful on backends with expensive launches."""
         if self.accum is None:
             self.accum = jnp.zeros((height, width, 3), jnp.float32)
             self.sample_index = 0
-        for _ in range(spp):
-            s = self.render_sample(width, height, self.sample_index,
-                                   jitter_aa)
-            self.accum = accumulation.accumulate(self.accum, s,
-                                                 self.sample_index)
-            self.sample_index += 1
-            if progress is not None:
-                progress(self.sample_index)
+        can_batch = (jitter_aa and batch > 1
+                     and self.cfg.nee_local_type != C.NEE_LOCAL_REGIR
+                     and self.cfg.nee_distant_type
+                     != C.NEE_DISTANT_PRESAMPLED)
+        remaining = spp
+        while remaining > 0:
+            if can_batch and remaining >= batch:
+                k = batch
+                if k not in self._batch_jit:
+                    self._batch_jit[k] = self._render_batch_fn(k)
+                px, py = self._pixel_grid(width, height)
+                cam = self.camera._replace(
+                    jitter=jnp.zeros(2, jnp.float32),
+                    viewport=jnp.asarray([width, height], jnp.float32))
+                total = self._batch_jit[k](
+                    self.assets, cam, px, py,
+                    jnp.asarray(self.sample_index, jnp.uint32))
+                n0 = self.sample_index
+                self.accum = (self.accum * n0
+                              + total.reshape(height, width, 3)) \
+                    / (n0 + k)
+                self.sample_index += k
+                remaining -= k
+                if progress is not None:
+                    progress(self.sample_index)
+            else:
+                s = self.render_sample(width, height, self.sample_index,
+                                       jitter_aa)
+                self.accum = accumulation.accumulate(
+                    self.accum, s, self.sample_index)
+                self.sample_index += 1
+                remaining -= 1
+                if progress is not None:
+                    progress(self.sample_index)
         return self.accum
 
     def reset_accumulation(self):

@@ -29,6 +29,23 @@ class TriSoup(NamedTuple):
 
     @staticmethod
     def build(positions, indices, order=None) -> "TriSoup":
+        import numpy as np
+        import jax
+        if not isinstance(positions, jax.core.Tracer):
+            # host numpy fast path: eager device ops each trigger a
+            # remote compile on the TPU tunnel (cold scene loads took
+            # minutes)
+            p = np.asarray(positions)
+            i = np.asarray(indices)
+            p0 = p[i[:, 0]]
+            verts = np.concatenate([p0, p[i[:, 1]] - p0,
+                                    p[i[:, 2]] - p0], axis=-1)
+            prim = np.arange(i.shape[0], dtype=np.int32)
+            if order is not None:
+                o = np.asarray(order)
+                verts = verts[o]
+                prim = prim[o]
+            return TriSoup(jnp.asarray(verts), jnp.asarray(prim))
         p0 = positions[indices[:, 0]]
         e1 = positions[indices[:, 1]] - p0
         e2 = positions[indices[:, 2]] - p0

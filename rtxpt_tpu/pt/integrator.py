@@ -279,6 +279,18 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         # treated as rejected hits and the path continues through
         alpha_reject = is_hit & (surf.alpha_mode == 1) & \
             (sd.opacity < surf.alpha_cutoff)
+        # alpha BLEND -> stochastic transparency (hit kept with
+        # probability = opacity; deterministic counter-based draw)
+        u_blend = rng.hash32_to_float(rng.hash32_combine(
+            rng.hash32_combine(rng.hash32(hit.prim.astype(jnp.uint32)),
+                               (path.px << 16) | path.py),
+            vertex_index.astype(jnp.uint32)
+            + consts.sample_base_index * jnp.uint32(0x9E37)))
+        alpha_reject = alpha_reject | (
+            is_hit & (surf.alpha_mode == 2) & (u_blend >= sd.opacity))
+        # glTF single-sided: backface hits pass through (culled)
+        alpha_reject = alpha_reject | (
+            is_hit & ~sd.front_facing & ~surf.double_sided)
 
         # nested dielectrics: reject false hits
         # (PathTracerNestedDielectrics.hlsli:48-91)

@@ -68,6 +68,7 @@ class SurfaceData(NamedTuple):
     interior_ior: jnp.ndarray   # (N,) the material's own IoR
     alpha_mode: jnp.ndarray = None     # (N,) i32 (0 opaque/1 mask/2 blend)
     alpha_cutoff: jnp.ndarray = None   # (N,)
+    double_sided: jnp.ndarray = None   # (N,) bool
 
 
 def _compute_tangent_space(n, tangent_w):
@@ -186,9 +187,13 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     # createTextureSampler, BridgeDonut:337-352,411)
     if scene.textures is not None:
         from ..scene import textures as TX
-        uv0 = vp[:, 0, 10:12]
-        uv1 = vp[:, 1, 10:12]
-        uv2 = vp[:, 2, 10:12]
+        # KHR_texture_transform (per-material offset+scale subset)
+        uv_off = mrow[..., ST.MP_UV_OFFSET:ST.MP_UV_OFFSET + 2]
+        uv_scl = mrow[..., ST.MP_UV_SCALE:ST.MP_UV_SCALE + 2]
+        uv = uv * uv_scl + uv_off
+        uv0 = vp[:, 0, 10:12] * uv_scl + uv_off
+        uv1 = vp[:, 1, 10:12] * uv_scl + uv_off
+        uv2 = vp[:, 2, 10:12] * uv_scl + uv_off
         e1uv = uv1 - uv0
         e2uv = uv2 - uv0
         uv_area = 0.5 * jnp.abs(e1uv[..., 0] * e2uv[..., 1]
@@ -222,7 +227,8 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     spec_trans = transmission * (1.0 - metalness)
     diff_trans = diffuse_transmission * (1.0 - metalness)
     f = (mat_ior - 1.0) / (mat_ior + 1.0)
-    f0 = f * f
+    # KHR_materials_specular: scales the dielectric F0
+    f0 = f * f * mrow[..., ST.MP_SPECULAR_FACTOR]
     diffuse = base_color * (1.0 - metalness)[..., None]
     specular = mu.lerp(f0[..., None] * jnp.ones_like(base_color),
                        base_color, metalness[..., None])
@@ -250,7 +256,8 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
                        interior_ior=mat_ior,
                        alpha_mode=mrow[..., ST.MP_ALPHA_MODE].astype(
                            jnp.int32),
-                       alpha_cutoff=mrow[..., ST.MP_ALPHA_CUTOFF])
+                       alpha_cutoff=mrow[..., ST.MP_ALPHA_CUTOFF],
+                       double_sided=mrow[..., ST.MP_DOUBLE_SIDED] != 0.0)
 
 
 def update_outside_ior(surface: SurfaceData, outside_ior) -> SurfaceData:
@@ -263,7 +270,8 @@ def update_outside_ior(surface: SurfaceData, outside_ior) -> SurfaceData:
     return SurfaceData(sd=sd, bsdf_data=data, emission=surface.emission,
                        interior_ior=surface.interior_ior,
                        alpha_mode=surface.alpha_mode,
-                       alpha_cutoff=surface.alpha_cutoff)
+                       alpha_cutoff=surface.alpha_cutoff,
+                       double_sided=surface.double_sided)
 
 
 def make_wavefront_bsdf(surface: SurfaceData,

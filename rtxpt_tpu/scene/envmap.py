@@ -79,6 +79,10 @@ def make_envmap(radiance, intensity: float = 1.0,
                 enabled: bool = True) -> EnvMap:
     """Build the importance pyramid (EnvMapImportanceSamplingBaker's
     BuildMIPDescentImportanceMapCS equivalent)."""
+    import jax as _jax
+    if not isinstance(radiance, _jax.core.Tracer):
+        return _make_envmap_np(np.asarray(radiance, np.float32),
+                               intensity, enabled)
     radiance = jnp.asarray(radiance, jnp.float32)
     h, w = radiance.shape[0], radiance.shape[1]
     assert w == 2 * h and (h & (h - 1)) == 0, "equirect must be (H, 2H), H=2^k"
@@ -290,3 +294,133 @@ def bake_procedural_sky(height: int = 128,
     in_sun = cos_sun > math.cos(sun_angular_radius)
     col = jnp.where(in_sun[..., None], jnp.asarray(sun_radiance), col)
     return col.astype(jnp.float32)
+
+
+def load_equirect(path: str, target_height: Optional[int] = None):
+    """Load an equirectangular environment texture from file — the
+    EnvMapBaker "loaded texture" path (RTXPT/Lighting/EnvMapBaker.cpp;
+    round-1 gap: only the procedural sky existed).
+
+    Formats: Radiance .hdr (native RGBE decoder), .exr (imageio/cv2),
+    LDR .png/.jpg (sRGB -> linear). Returns (H, 2H, 3) float32 with H a
+    power of two (resampled as needed)."""
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".hdr":
+        img = _load_radiance_hdr(path)
+    elif ext == ".exr":
+        try:
+            import imageio.v3 as iio
+            img = np.asarray(iio.imread(path), np.float32)[..., :3]
+        except Exception:
+            import cv2
+            img = cv2.imread(path, cv2.IMREAD_UNCHANGED)[..., 2::-1]
+            img = np.asarray(img, np.float32)
+    else:
+        from PIL import Image
+        ldr = np.asarray(Image.open(path).convert("RGB"),
+                         np.float32) / 255.0
+        img = ldr ** 2.2
+    h0 = img.shape[0]
+    if target_height is None:
+        target_height = 1 << max(int(np.floor(np.log2(max(h0, 2)))), 3)
+        target_height = min(target_height, 1024)
+    th, tw = target_height, target_height * 2
+    if img.shape[0] != th or img.shape[1] != tw:
+        ys = (np.arange(th) + 0.5) / th * img.shape[0] - 0.5
+        xs = (np.arange(tw) + 0.5) / tw * img.shape[1] - 0.5
+        yi = np.clip(np.round(ys).astype(int), 0, img.shape[0] - 1)
+        xi = np.clip(np.round(xs).astype(int), 0, img.shape[1] - 1)
+        img = img[yi][:, xi]
+    return np.ascontiguousarray(img, np.float32)
+
+
+def _load_radiance_hdr(path: str) -> np.ndarray:
+    """Minimal Radiance RGBE (.hdr) decoder (RLE + flat scanlines)."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"#?"):
+            raise ValueError("not a Radiance file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b""):
+                break
+        dims = f.readline().split()
+        if dims[0] != b"-Y":
+            raise ValueError("unsupported .hdr orientation")
+        h, w = int(dims[1]), int(dims[3])
+        data = np.zeros((h, w, 4), np.uint8)
+        for y in range(h):
+            head = f.read(4)
+            if len(head) < 4:
+                raise ValueError("truncated .hdr")
+            if head[0] == 2 and head[1] == 2 and \
+                    (head[2] << 8 | head[3]) == w:
+                # new-style RLE: 4 separated component streams
+                for c in range(4):
+                    x = 0
+                    while x < w:
+                        n = f.read(1)[0]
+                        if n > 128:
+                            data[y, x:x + n - 128, c] = f.read(1)[0]
+                            x += n - 128
+                        else:
+                            buf = np.frombuffer(f.read(n), np.uint8)
+                            data[y, x:x + n, c] = buf
+                            x += n
+            else:
+                # flat scanline: head already holds the first pixel
+                row = head + f.read((w - 1) * 4)
+                data[y] = np.frombuffer(row, np.uint8).reshape(w, 4)
+    mant = data[..., :3].astype(np.float32)
+    exp = data[..., 3].astype(np.int32)
+    scale = np.where(exp == 0, 0.0,
+                     np.ldexp(1.0, exp - 136)).astype(np.float32)
+    return mant * scale[..., None]
+
+
+def _make_envmap_np(radiance: np.ndarray, intensity: float,
+                    enabled: bool) -> EnvMap:
+    """Host numpy build of the env tables (cold path: the jnp version's
+    ~40 eager ops each trigger a remote compile on the TPU tunnel)."""
+    h, w = radiance.shape[0], radiance.shape[1]
+    assert w == 2 * h and (h & (h - 1)) == 0, \
+        "equirect must be (H, 2H), H=2^k"
+    omega = _row_solid_angles(h, w)
+    lum = (0.2126 * radiance[..., 0] + 0.7152 * radiance[..., 1]
+           + 0.0722 * radiance[..., 2])
+    base = lum * omega[:, None]
+    mips = [base]
+    m = base
+    while m.shape[0] > 1:
+        m = (m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2]
+             + m[1::2, 1::2])
+        mips.append(m)
+    mips = mips[::-1]
+    total = max(float(base.sum()), 1e-20)
+    quads = []
+    for lvl in range(1, len(mips)):
+        mm = mips[lvl]
+        q = np.stack([mm[0::2, 0::2], mm[0::2, 1::2],
+                      mm[1::2, 0::2], mm[1::2, 1::2]], axis=-1)
+        quads.append(jnp.asarray(q.reshape(-1, 4).astype(np.float32)))
+    pdf_flat = (mips[-1] / (total * np.maximum(omega[:, None], 1e-20))
+                ).reshape(-1).astype(np.float32)
+    r_right = np.roll(radiance, -1, axis=1)
+    r_down = np.concatenate([radiance[1:], radiance[-1:]], axis=0)
+    r_diag = np.roll(r_down, -1, axis=1)
+    radiance_quad = np.concatenate(
+        [radiance, r_right, r_down, r_diag], axis=-1).reshape(-1, 12)
+    return EnvMap(radiance=jnp.asarray(radiance),
+                  mips=tuple(jnp.asarray(m.astype(np.float32))
+                             for m in mips),
+                  total=jnp.asarray(total, jnp.float32),
+                  omega_rows=jnp.asarray(omega),
+                  intensity=jnp.asarray(intensity, jnp.float32),
+                  enabled=jnp.asarray(enabled),
+                  radiance_flat=jnp.asarray(
+                      radiance.reshape(-1, 3)),
+                  pdf_flat=jnp.asarray(pdf_flat),
+                  quads=tuple(quads),
+                  radiance_quad=jnp.asarray(
+                      radiance_quad.astype(np.float32)))

@@ -161,6 +161,26 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
         pbr = m.get("pbrMetallicRoughness", {})
         base = pbr.get("baseColorFactor", [1, 1, 1, 1])
         exts = m.get("extensions", {})
+        # legacy spec-gloss workflow -> metal-rough conversion (the
+        # Khronos reference mapping, donut GltfImporter equivalent)
+        sg = exts.get("KHR_materials_pbrSpecularGlossiness")
+        if sg is not None:
+            diff = np.asarray(sg.get("diffuseFactor", [1, 1, 1, 1]),
+                              np.float32)
+            specf = np.asarray(sg.get("specularFactor", [1, 1, 1]),
+                               np.float32)
+            gloss = float(sg.get("glossinessFactor", 1.0))
+            spec_max = float(specf.max())
+            metal = float(np.clip((spec_max - 0.04) / 0.96, 0.0, 1.0))
+            base_rgb = diff[:3] * (1.0 - metal) + specf * metal
+            base = [float(base_rgb[0]), float(base_rgb[1]),
+                    float(base_rgb[2]),
+                    float(diff[3]) if len(diff) > 3 else 1.0]
+            pbr = dict(pbr)
+            pbr["metallicFactor"] = metal
+            pbr["roughnessFactor"] = 1.0 - gloss
+            if "diffuseTexture" in sg and "baseColorTexture" not in pbr:
+                pbr["baseColorTexture"] = sg["diffuseTexture"]
         trans = exts.get("KHR_materials_transmission", {}).get(
             "transmissionFactor", 0.0)
         ior = exts.get("KHR_materials_ior", {}).get("ior", 1.5)
@@ -180,6 +200,14 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
         def tex_index(texinfo):
             return texinfo.get("index", -1) if texinfo else -1
 
+        # KHR_texture_transform (offset+scale subset) from baseColor
+        tt = (pbr.get("baseColorTexture") or {}).get(
+            "extensions", {}).get("KHR_texture_transform", {})
+        uv_offset = np.asarray(tt.get("offset", [0.0, 0.0]), np.float32)
+        uv_scale = np.asarray(tt.get("scale", [1.0, 1.0]), np.float32)
+        spec_ext = exts.get("KHR_materials_specular", {})
+        specular_factor = float(spec_ext.get("specularFactor", 1.0))
+
         mat_ids.append(sb.add_material(
             base_color=np.asarray(base[:3], np.float32),
             metalness=pbr.get("metallicFactor", 1.0),
@@ -198,6 +226,10 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
             transmission_tex=tex_index(
                 exts.get("KHR_materials_transmission", {}).get(
                     "transmissionTexture")),
+            double_sided=bool(m.get("doubleSided", False)),
+            uv_offset=uv_offset,
+            uv_scale=uv_scale,
+            specular_factor=specular_factor,
         ))
     if not mat_ids:
         mat_ids = [sb.add_material()]

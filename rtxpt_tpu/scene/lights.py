@@ -63,17 +63,22 @@ def build_light_table(host_scene: dict, analytic: Optional[list] = None
               + 0.0722 * emissive[:, 2])
     is_emissive_mat = (em_lum > 0) & (~excluded)
     emissive_tris = np.nonzero(is_emissive_mat[tri_mat])[0]
-    for t in emissive_tris:
-        p0, p1, p2 = pos[idx[t, 0]], pos[idx[t, 1]], pos[idx[t, 2]]
-        area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0))
-        rad = emissive[tri_mat[t]]
-        kinds.append(LIGHT_TRIANGLE)
-        tris.append(t)
-        positions.append((p0 + p1 + p2) / 3.0)
-        radii.append(0.0)
-        radiances.append(rad)
+    if emissive_tris.size:
+        # vectorized (Bistro-class scenes have tens of thousands of
+        # emissive triangles; a per-triangle Python loop took minutes)
+        et = emissive_tris
+        p0 = pos[idx[et, 0]]
+        p1 = pos[idx[et, 1]]
+        p2 = pos[idx[et, 2]]
+        area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+        mids = tri_mat[et]
+        kinds.extend([LIGHT_TRIANGLE] * et.size)
+        tris.extend(et.tolist())
+        positions.extend(((p0 + p1 + p2) / 3.0).astype(np.float32))
+        radii.extend([0.0] * et.size)
+        radiances.extend(emissive[mids].astype(np.float32))
         # single-sided emissive: power = L * area * pi
-        powers.append(float(em_lum[tri_mat[t]] * area * np.pi))
+        powers.extend((em_lum[mids] * area * np.pi).tolist())
 
     for a in (analytic or []):
         kinds.append(a["kind"])

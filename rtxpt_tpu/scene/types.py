@@ -46,6 +46,10 @@ class MaterialTable(NamedTuple):
     transmission_tex: jnp.ndarray      # (M,) int32
     alpha_mode: jnp.ndarray            # (M,) int32: 0 opaque, 1 mask, 2 blend
     alpha_cutoff: jnp.ndarray          # (M,)
+    double_sided: jnp.ndarray          # (M,) bool (glTF doubleSided)
+    uv_offset: jnp.ndarray             # (M,2) KHR_texture_transform
+    uv_scale: jnp.ndarray              # (M,2)
+    specular_factor: jnp.ndarray       # (M,) KHR_materials_specular
 
     @property
     def count(self) -> int:
@@ -118,7 +122,11 @@ MP_MR_TEX = 16
 MP_NORMAL_TEX = 17
 MP_ALPHA_MODE = 18
 MP_ALPHA_CUTOFF = 19
-MP_COLS = 20
+MP_DOUBLE_SIDED = 20
+MP_UV_OFFSET = 21      # 21:23
+MP_UV_SCALE = 23       # 23:25
+MP_SPECULAR_FACTOR = 25
+MP_COLS = 26
 
 
 def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
@@ -146,7 +154,11 @@ def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
         m.normal_tex[:, None].astype(jnp.float32),
         m.alpha_mode[:, None].astype(jnp.float32),
         m.alpha_cutoff[:, None],
-    ], axis=-1)                                              # (M,20)
+        m.double_sided[:, None].astype(jnp.float32),
+        m.uv_offset,
+        m.uv_scale,
+        m.specular_factor[:, None],
+    ], axis=-1)                                              # (M,26)
     return vert_pack, tri_pack, mat_pack
 
 
@@ -172,4 +184,8 @@ def default_material_table(n: int = 1) -> dict:
         transmission_tex=np.full((n,), -1, np.int32),
         alpha_mode=np.zeros((n,), np.int32),
         alpha_cutoff=np.full((n,), 0.5, np.float32),
+        double_sided=np.ones((n,), bool),
+        uv_offset=np.zeros((n, 2), np.float32),
+        uv_scale=np.ones((n, 2), np.float32),
+        specular_factor=np.ones((n,), np.float32),
     )
