@@ -32,8 +32,8 @@ class TAAUState(NamedTuple):
 
 
 def resolve(state: Optional[TAAUState], color, motion, display_size,
-            jitter=(0.0, 0.0), base_blend: float = 0.1,
-            clip_sigma: float = 1.25) -> tuple:
+            jitter=(0.0, 0.0), base_blend: float = 0.01,
+            clip_sigma: float = 1.5) -> tuple:
     """color: (Hr,Wr,3) render-res frame; motion: (Hr,Wr,2) px in RENDER
     units (prev - cur); display_size: (Wd, Hd) static ints; jitter: the
     camera sub-pixel jitter (render px) used this frame.
@@ -53,7 +53,7 @@ def resolve(state: Optional[TAAUState], color, motion, display_size,
     dx = rx - jnp.round(rx)
     dy = ry - jnp.round(ry)
     dist2 = dx * dx + dy * dy
-    confidence = jnp.exp(-dist2 / 0.15)           # ~1 on-sample, ~0 far
+    confidence = jnp.exp(-dist2 / 0.05)           # ~1 on-sample, ~0 far
 
     if state is None:
         return cur, TAAUState(history=cur, valid=jnp.asarray(True))
@@ -79,9 +79,15 @@ def resolve(state: Optional[TAAUState], color, motion, display_size,
             m2 = m2 + s * s
     m1 = m1 / 9.0
     sigma = jnp.sqrt(jnp.maximum(m2 / 9.0 - m1 * m1, 0.0))
-    hist = jnp.clip(hist, m1 - clip_sigma * sigma, m1 + clip_sigma * sigma)
+    # confidence-relaxed clip: pixels that land on a fresh sample keep
+    # their superresolved history (the upsampled current frame is band-
+    # limited, so a tight clip would erase sub-render-pixel detail);
+    # off-sample pixels clamp hard against ghosting
+    widen = (1.0 + 6.0 * confidence)[..., None]
+    hist = jnp.clip(hist, m1 - clip_sigma * widen * sigma,
+                    m1 + clip_sigma * widen * sigma)
 
-    blend = base_blend + (0.6 - base_blend) * confidence[..., None]
+    blend = base_blend + (0.5 - base_blend) * confidence[..., None]
     out = jnp.where(in_bounds, mu.lerp(hist, cur, blend), cur)
     out = jnp.where(state.valid, out, cur)
     return out, TAAUState(history=out, valid=jnp.asarray(True))
