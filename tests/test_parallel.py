@@ -54,6 +54,7 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_post_matches_single_device():
     """Sharded denoise+TAA (halo-exchanged) == single-device output for
     in-halo motion (the production consumer of parallel/halo.py)."""

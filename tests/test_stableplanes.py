@@ -139,3 +139,35 @@ def test_stable_fill_matches_reference():
     assert np.median(rel) < 0.25, np.median(rel)
     assert abs(acc.mean() - ref.mean()) / ref.mean() < 0.12, \
         (acc.mean(), ref.mean())
+
+
+@pytest.mark.slow
+def test_glass_secondary_surface_denoises():
+    """VERDICT item 3 'Done': a glass-refraction scene denoises on its
+    SECONDARY surface — the refraction plane carries the back wall and
+    its per-plane denoiser smooths the noisy fill radiance there."""
+    host = _glass_wall_scene()
+    cam = _camera(48, 36)
+    cfg = realtime_config(use_restir_di=False, use_restir_gi=False,
+                          denoiser_enabled=True, use_stable_planes=True,
+                          max_bounces=4, max_diffuse_bounces=2)
+    r = RealtimeRenderer(host, cam, cfg)
+    raw_cfg = realtime_config(use_restir_di=False, use_restir_gi=False,
+                              denoiser_enabled=False,
+                              use_stable_planes=True,
+                              max_bounces=4, max_diffuse_bounces=2)
+    r_raw = RealtimeRenderer(host, cam, raw_cfg)
+    for _ in range(6):
+        den = np.asarray(r.render_frame(48, 36, taa=False))
+    raw = np.asarray(r_raw.render_frame(48, 36, taa=False,
+                                        denoise=False))
+    # planes 1/2 are in use (reflection + refraction of the glass wall)
+    bid = np.asarray(r.last_stable_planes.branch_id)
+    assert (bid[:, 1] != 0xFFFFFFFF).mean() > 0.3
+    # center region sees the back wall through the glass; the denoised
+    # output there must be much smoother than a raw 1-frame fill
+    reg = (slice(12, 24), slice(16, 32))
+    var_den = den[reg].std()
+    var_raw = raw[reg].std()
+    assert np.isfinite(den).all()
+    assert var_den < 0.6 * var_raw, (var_den, var_raw)
