@@ -58,6 +58,14 @@ class PTConfig:
     use_restir_gi: bool = False
     denoiser_enabled: bool = False
     realtime_noise: bool = True           # Sample.cpp:1572 determinism switch
+    # per-bounce wavefront reorder (the SER coherence translation).
+    # "none": keep morton primary order only — the dense-MT trace path's
+    #   per-tile cluster worklists recover ray coherence without paying a
+    #   full-pytree XLA permute (~40 gathers/bounce) every bounce;
+    # "octant": stable-partition live lanes to the front + direction-
+    #   octant sort, permuting the whole PathState (round-2 behavior;
+    #   helps the BVH kernels on big scenes at permute-gather cost).
+    wavefront_sort: str = "none"
 
 
 class PTConstants(NamedTuple):

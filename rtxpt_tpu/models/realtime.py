@@ -95,7 +95,10 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         r_feedback = r
         r = di.spatial_resample(assets, gb, r, px, py, width, height,
                                 frame)
-        di_d, di_s = di.final_shade(assets, gb, r)
+        if not cfg.use_restir_gi:
+            di_d, di_s = di.final_shade(assets, gb, r)
+        # else: fused DI+GI final below (one batched visibility trace,
+        # RtxdiPass::ExecuteFusedDIGIFinal)
     else:
         r_feedback = r = Reservoir.empty(n)
         di_d = jnp.zeros((n, 3))
@@ -126,15 +129,17 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         nested.handle_intersection(interior, sd.material_id,
                                    sd.nested_priority, sd.front_facing),
         interior)
-    # ReSTIR DI covers primary direct lighting for ALL non-delta lobes:
-    # di.eval_target evaluates the full split BSDF (reflection AND rough
-    # transmission), so the continuation's emissive/env MIS weight must be
-    # zeroed for every non-delta lobe or rough-transmission paths would
-    # double-count direct light. Delta lobes evaluate to zero under light
-    # sampling, so mirror/glass keep their BSDF-sampled contribution (the
-    # reference routes those through dedicated stable planes instead;
-    # PathTracerNEE.hlsli:321-330)
-    restir_covers = jnp.asarray(cfg.use_restir_di) & ~is_delta
+    # ReSTIR DI covers primary direct lighting for non-delta REFLECTION
+    # lobes only: di.final_shade offsets its visibility rays to the view
+    # side of the surface, so reservoir samples for a transmitted lobe
+    # would self-occlude against the primary surface and contribute ~0
+    # (energy loss). The reference likewise keeps transmission out of
+    # RTXDI coverage; rough-transmission primaries take direct light via
+    # the continuation's BSDF-sampled emissive/env MIS instead
+    # (PathTracerNEE.hlsli:321-330). Delta lobes evaluate to zero under
+    # light sampling, so mirror/glass keep their BSDF-sampled
+    # contribution too.
+    restir_covers = jnp.asarray(cfg.use_restir_di) & ~is_delta & ~is_trans
     mis0 = jnp.where(restir_covers, 0.0, 1.0)
     cone_spread = jnp.where(
         is_delta, cam.pixel_cone_spread_angle,
@@ -179,7 +184,11 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
                                       frame)
         gi_feedback = gr
         gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
-        gi_d, gi_s = gi.final_shade(assets, gb, gr)
+        if cfg.use_restir_di:
+            di_d, di_s, gi_d, gi_s = di.fused_final_shade(assets, gb, r,
+                                                          gr)
+        else:
+            gi_d, gi_s = gi.final_shade(assets, gb, gr)
         ind_d = jnp.where(gi_eligible[..., None], gi_d,
                           jnp.where((primary_diffuse
                                      | ~gb.valid)[..., None],
@@ -338,7 +347,11 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
                                       frame)
         gi_feedback = gr
         gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
-        gi_d, gi_s = gi.final_shade(assets, gb, gr)
+        if cfg.use_restir_di:
+            di_d, di_s, gi_d, gi_s = di.fused_final_shade(assets, gb, r,
+                                                          gr)
+        else:
+            gi_d, gi_s = gi.final_shade(assets, gb, gr)
     else:
         gi_feedback = gi.GIReservoir.empty(n)
         gi_d = jnp.zeros((n, 3))

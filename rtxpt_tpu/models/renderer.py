@@ -96,9 +96,20 @@ class Renderer:
                                   enabled=self.cfg.use_env_lights)
         self.lights = (LI.build_light_table(host_scene, analytic_lights)
                        if self.cfg.use_emissive_lights else None)
+        # dense matmul-MT planes: the preferred TPU trace path for
+        # small/medium scenes (ops/mt_dense.py); BVH kernels remain the
+        # fallback + the big-scene path
+        from ..ops import mt_dense
+        import os
+        self.dense = None
+        if mt_dense.supported(n_tris) and \
+                os.environ.get("RTXPT_NO_DENSE", "0") != "1":
+            self.dense = mt_dense.build_dense(
+                host_scene["positions"], host_scene["indices"],
+                tri_omm=tri_omm)
         self.assets = integrator.RenderAssets(
             scene=self.scene, bvh=self.bvh, soup=self.soup, env=self.env,
-            lights=self.lights)
+            lights=self.lights, dense=self.dense)
         self._render_jit = jax.jit(functools.partial(
             integrator.render_wavefront, cfg=self.cfg))
         self._batch_jit = {}

@@ -1,0 +1,410 @@
+"""Dense MXU ray-triangle intersection: "tensor-core RT" for small/medium
+scenes.
+
+The BVH8 one-hot-gather kernel (ops/traverse_pallas.py) is VPU-bound at
+small-scene scale: per-lane stack selects + slab tests + the sorting
+network cost ~0.8 us/iteration and a tile pays for its worst lane's
+~40-60 iterations. This module replaces pointer-chasing entirely for
+scenes up to ~8k triangles (the realtime/bench scale): Möller-Trumbore is
+refactored into a MATMUL.
+
+For ray (o, d) and triangle (p0, e1, e2), the MT quantities are
+polynomials in the ray with per-triangle coefficients:
+
+    a  = d · (e2 x e1)                               (linear in d)
+    u' = s · (d x e2) = -o^T [e2]x d + (p0^T [e2]x) · d   (bilinear o(x)d)
+    v' = d · (s x e1) = -d^T [e1]x o + d^T ([e1]x p0)     (bilinear o(x)d)
+    t' = s · (e1 x e2) = o · n - p0 · n                   (affine in o)
+    u = u'/a, v = v'/a, t = t'/a      ([x]x = cross-product matrix)
+
+so with the 16-feature vector x = [o (x) d (9), d (3), o (3), 1] every
+(ray, triangle) pair's (a, u', v', t') is ONE row of W @ x — a dense
+(4C, 16) @ (16, TILE) matmul on the MXU, with a short VPU epilogue for
+the division, validity tests and running closest-hit min. Zero
+divergence, zero stack traffic, and the triangle data streams through
+the systolic array instead of being gathered.
+
+Triangles are morton-ordered and chunked into CLUSTERS of 64; a cheap
+XLA prepass slab-tests every (pixel-tile, cluster) pair and emits a
+per-tile NEAR-TO-FAR cluster worklist (scalar-prefetched into SMEM), so
+each tile only pays for the clusters its rays can see and best_t
+tightens early. Replaces the same DXR TraceRay the BVH kernels replace
+(RTXPT/PathTracerBridgeDonut.hlsli:703,657).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit
+
+TILE = 1024
+CLUSTER = 64            # triangles per cluster (one matmul + epilogue)
+MAX_TRIS = 8192         # beyond this the BVH paths win (VMEM + pair count)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """(N,3) uint32 10-bit coords -> interleaved 30-bit morton codes."""
+    def part(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+    return (part(q[:, 0]) | (part(q[:, 1]) << np.uint64(1))
+            | (part(q[:, 2]) << np.uint64(2)))
+
+
+def _cross_mat(v):
+    x, y, z = v
+    return np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]], np.float64)
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseMT:
+    """Per-cluster MT weight planes + worklist metadata."""
+
+    def __init__(self, weights, aabb, tri_ids, omm, center,
+                 num_clusters: int, has_omm: bool):
+        self.weights = weights        # (NC*RC, 16) f32; RC = (4|5)*CLUSTER
+        self.aabb = aabb              # (NC, 6) f32 cluster min.xyz max.xyz
+        self.tri_ids = tri_ids        # (NC*CLUSTER,) i32 original ids
+        self.omm = omm                # unused placeholder (baked in W)
+        self.center = center          # (3,) f32 recenter point
+        self.num_clusters = num_clusters
+        self.has_omm = has_omm
+
+    @property
+    def rc(self) -> int:
+        return (5 if self.has_omm else 4) * CLUSTER
+
+    def tree_flatten(self):
+        return ((self.weights, self.aabb, self.tri_ids, self.omm,
+                 self.center), (self.num_clusters, self.has_omm))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, num_clusters=aux[0], has_omm=aux[1])
+
+
+def supported(n_tris: int) -> bool:
+    return n_tris <= MAX_TRIS
+
+
+def build_dense(positions, indices, tri_omm=None) -> DenseMT:
+    """Host (numpy) cold-path build of the dense MT planes."""
+    p = np.asarray(positions, np.float64)
+    idx = np.asarray(indices, np.int64)
+    t = idx.shape[0]
+    center = (p.min(0) + p.max(0)) * 0.5
+
+    # spatial (morton) triangle order -> tight cluster AABBs
+    cent = (p[idx[:, 0]] + p[idx[:, 1]] + p[idx[:, 2]]) / 3.0
+    lo, hi = cent.min(0), cent.max(0)
+    q = np.clip((cent - lo) / np.maximum(hi - lo, 1e-12) * 1023.0,
+                0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable")
+
+    has_omm = tri_omm is not None and \
+        (np.asarray(tri_omm) != 0xFFFF).any()
+    chans = 5 if has_omm else 4
+    rc = chans * CLUSTER
+    nc = max(_round_up(t, CLUSTER) // CLUSTER, 1)
+    w = np.zeros((nc * rc, 16), np.float64)
+    ids = np.full((nc * CLUSTER,), -1, np.int32)
+
+    # fully vectorized coefficient build (host cold path must stay fast:
+    # memory axon-tpu-tunnel-behavior — eager device ops here would each
+    # trigger a remote compile)
+    p0a = (p[idx[:, 0]] - center)[order]          # (T,3) recentered
+    e1a = (p[idx[:, 1]] - p[idx[:, 0]])[order]
+    e2a = (p[idx[:, 2]] - p[idx[:, 0]])[order]
+
+    def cross_mats(v):                             # (T,3,3) [v]x
+        zero = np.zeros(t)
+        return np.stack([
+            np.stack([zero, -v[:, 2], v[:, 1]], -1),
+            np.stack([v[:, 2], zero, -v[:, 0]], -1),
+            np.stack([-v[:, 1], v[:, 0], zero], -1)], 1)
+
+    ce1, ce2 = cross_mats(e1a), cross_mats(e2a)
+    nrm = np.cross(e1a, e2a)
+    slot = np.arange(t)
+    ci = slot // CLUSTER
+    ki = slot % CLUSTER
+    row0 = ci * rc + ki
+    # channel 0: a = d . (e2 x e1)
+    w[row0, 9:12] = np.cross(e2a, e1a)
+    # channel 1: u' = -o^T[e2]x d + (p0^T[e2]x) . d
+    w[row0 + CLUSTER, 0:9] = (-ce2).reshape(t, 9)
+    w[row0 + CLUSTER, 9:12] = np.einsum("ti,tij->tj", p0a, ce2)
+    # channel 2: v' = -d^T[e1]x o + d . ([e1]x p0)
+    w[row0 + 2 * CLUSTER, 0:9] = (-np.swapaxes(ce1, 1, 2)).reshape(t, 9)
+    w[row0 + 2 * CLUSTER, 9:12] = np.einsum("tij,tj->ti", ce1, p0a)
+    # channel 3: t' = o.n - p0.n
+    w[row0 + 3 * CLUSTER, 12:15] = nrm
+    w[row0 + 3 * CLUSTER, 15] = -np.einsum("ti,ti->t", p0a, nrm)
+    if has_omm:
+        w[row0 + 4 * CLUSTER, 15] = \
+            np.asarray(tri_omm, np.int64)[order].astype(np.float64)
+    ids[slot] = order.astype(np.int32)
+
+    # per-cluster AABBs over all three vertices (world space)
+    pts = np.stack([p0a, p0a + e1a, p0a + e2a], 1) + center  # (T,3,3)
+    t_pad = nc * CLUSTER
+    pts_pad = np.concatenate(
+        [pts, np.repeat(pts[-1:], t_pad - t, axis=0)], 0)
+    pc = pts_pad.reshape(nc, CLUSTER * 3, 3)
+    aabb = np.concatenate([pc.min(1), pc.max(1)], -1).astype(np.float32)
+    return DenseMT(
+        weights=jnp.asarray(w.astype(np.float32)),
+        aabb=jnp.asarray(aabb),
+        tri_ids=jnp.asarray(ids),
+        omm=jnp.zeros((1,), jnp.int32),
+        center=jnp.asarray(center.astype(np.float32)),
+        num_clusters=nc, has_omm=has_omm)
+
+
+# ---------------------------------------------------------------------------
+# XLA prepass: per-pixel-tile near-to-far cluster worklists
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nc",))
+def _tile_worklists(aabb, origins, dirs, t_max, active, nc: int):
+    """(counts (T,), order (T, NC)): for each TILE-lane block, the
+    clusters any active ray's slab test overlaps, sorted near-to-far by
+    the tile's min entry distance. O(N*NC) but fully fused elementwise +
+    reductions — a scan over clusters bounds the live intermediates."""
+    n = origins.shape[0]
+    tiles = n // TILE
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
+                          jnp.where(dirs < 0, -1e-12, 1e-12), dirs)
+    o_t = origins.reshape(tiles, TILE, 3)
+    i_t = inv.reshape(tiles, TILE, 3)
+    tm_t = t_max.reshape(tiles, TILE)
+    ac_t = active.reshape(tiles, TILE)
+
+    def per_cluster(box):
+        t0 = (box[0:3] - o_t) * i_t
+        t1 = (box[3:6] - o_t) * i_t
+        tn = jnp.max(jnp.minimum(t0, t1), -1)
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tm_t)
+        hit = (jnp.maximum(tn, 0.0) <= tf) & ac_t
+        return hit.any(-1), jnp.min(jnp.where(hit, tn, jnp.inf), -1)
+
+    hit_any, tn_min = jax.lax.map(per_cluster, aabb)    # (NC, T) each
+    key = jnp.where(hit_any, tn_min, jnp.inf).T          # (T, NC)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    counts = hit_any.T.sum(1).astype(jnp.int32)
+    return counts, order
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _features(o_ref, d_ref):
+    """o_ref holds PRE-RECENTERED origins (o - scene center): the
+    bilinear o(x)d features lose ~|o|*ulp absolute precision, so the
+    caller subtracts the scene center before the kernel (t/u/v are
+    translation-invariant)."""
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    one = jnp.ones_like(dx)
+    rows = [ox * dx, ox * dy, ox * dz,
+            oy * dx, oy * dy, oy * dz,
+            oz * dx, oz * dy, oz * dz,
+            dx, dy, dz, ox, oy, oz, one]
+    return jnp.stack(rows, axis=0)                       # (16, TILE)
+
+
+def _pair_test(out, has_omm, t_min, best_t, act):
+    """Epilogue over a cluster's (C, TILE) channel blocks -> per-pair
+    validity + t/u/v. Signs folded via s = sign(a) so one reciprocal of
+    |a| serves u, v and t."""
+    C = CLUSTER
+    A = out[0:C]
+    U = out[C:2 * C]
+    V = out[2 * C:3 * C]
+    Tn = out[3 * C:4 * C]
+    sgn = jnp.where(A < 0.0, -1.0, 1.0)
+    absa = A * sgn
+    su = U * sgn
+    sv = V * sgn
+    st = Tn * sgn
+    rcp = 1.0 / jnp.maximum(absa, 1e-30)
+    u = su * rcp
+    v = sv * rcp
+    t = st * rcp
+    ok = ((absa > 1e-12) & (su >= 0.0) & (sv >= 0.0)
+          & (su + sv <= absa) & (t > t_min) & (t < best_t[None, :])
+          & act[None, :])
+    if has_omm:
+        mk = out[4 * C:5 * C].astype(jnp.int32)
+        ci = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+        cj = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
+        ok = ok & (((mk >> (ci * 4 + cj)) & 1) != 0)
+    return ok, t, u, v
+
+
+def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
+    RC = (5 if has_omm else 4) * CLUSTER
+    rows_iota = None
+
+    def kernel(counts_ref, clist_ref, w_ref, o_ref, d_ref,
+               tmax_ref, act_ref, t_out, prim_out, u_out, v_out):
+        i = pl.program_id(0)
+        cnt = counts_ref[i]
+        x = _features(o_ref, d_ref)
+        act = act_ref[0] != 0
+        t_min = jnp.float32(0.0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, TILE), 0)
+
+        t_out[0] = tmax_ref[0]
+        prim_out[0] = jnp.full((TILE,), -1, jnp.int32)
+        u_out[0] = jnp.zeros((TILE,), jnp.float32)
+        v_out[0] = jnp.zeros((TILE,), jnp.float32)
+
+        if any_hit:
+            def cond(carry):
+                j, found = carry
+                return (j < cnt) & jnp.any(act & ~found)
+
+            def body(carry):
+                j, found = carry
+                c = clist_ref[i, j]
+                wc = w_ref[pl.ds(c * RC, RC), :]
+                out = jax.lax.dot_general(
+                    wc, x, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                ok, _, _, _ = _pair_test(out, has_omm, t_min,
+                                         tmax_ref[0], act & ~found)
+                return j + 1, found | jnp.any(ok, axis=0)
+
+            _, found = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.zeros((TILE,), bool)))
+            prim_out[0] = jnp.where(found, 0, prim_out[0])
+        else:
+            def body(j, _):
+                c = clist_ref[i, j]
+                wc = w_ref[pl.ds(c * RC, RC), :]
+                out = jax.lax.dot_general(
+                    wc, x, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                best = t_out[0]
+                ok, t, u, v = _pair_test(out, has_omm, t_min, best, act)
+                tt = jnp.where(ok, t, jnp.inf)
+                tmin_l = jnp.min(tt, axis=0)                 # (TILE,)
+                imp = tmin_l < best
+                winrow = jnp.min(jnp.where(tt <= tmin_l[None, :], rows,
+                                           CLUSTER), axis=0)
+                sel = (rows == winrow[None, :]) & ok
+                u_w = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+                v_w = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+                t_out[0] = jnp.where(imp, tmin_l, best)
+                prim_out[0] = jnp.where(imp, c * CLUSTER + winrow,
+                                        prim_out[0])
+                u_out[0] = jnp.where(imp, u_w, u_out[0])
+                v_out[0] = jnp.where(imp, v_w, v_out[0])
+                return 0
+
+            jax.lax.fori_loop(0, cnt, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nc", "has_omm", "any_hit",
+                                    "interpret"))
+def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
+                 nc: int, has_omm: bool, any_hit: bool,
+                 interpret: bool = False):
+    n = origins.shape[0]
+    n_pad = _round_up(max(n, TILE), TILE)
+    pad = n_pad - n
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    tm = jnp.pad(t_max, (0, pad))
+    ac = jnp.pad(active, (0, pad))
+    counts, order = _tile_worklists(aabb, o, d, tm, ac, nc=nc)
+
+    RC = (5 if has_omm else 4) * CLUSTER
+    kernel = _make_kernel(nc, has_omm, any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((nc * RC, 16), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM)),
+    )
+    t, prim, u, v = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, order,
+      weights,
+      (o - center[None, :]).T, d.T, tm[None, :],
+      ac.astype(jnp.int32)[None, :])
+    uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
+    return t[0, :n], prim[0, :n], uv
+
+
+def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
+                  active=None, interpret: bool = False) -> Hit:
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t, slot, uv = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
+                               origins, dirs, t_max, active,
+                               nc=dmt.num_clusters, has_omm=dmt.has_omm,
+                               any_hit=False, interpret=interpret)
+    prim = jnp.where(slot >= 0, dmt.tri_ids[jnp.maximum(slot, 0)], -1)
+    return Hit(t, prim, uv)
+
+
+def trace_anyhit(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
+                 active=None, interpret: bool = False):
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    _, slot, _ = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
+                              origins, dirs, t_max, active,
+                              nc=dmt.num_clusters, has_omm=dmt.has_omm,
+                              any_hit=True, interpret=interpret)
+    return slot >= 0

@@ -30,6 +30,14 @@ MAX_ITERS = 500_000
 _use_pallas_cache = None
 
 
+def _dense_interpret() -> bool:
+    """Test hook: run the dense-MT kernel in Pallas interpret mode on
+    CPU backends (RTXPT_DENSE_INTERPRET=1) so the full dense trace path
+    can be validated without a TPU."""
+    import os
+    return os.environ.get("RTXPT_DENSE_INTERPRET", "0") == "1"
+
+
 def _use_pallas() -> bool:
     """Pallas kernels need a real TPU backend; CPU tests use the XLA
     path. Override with RTXPT_FORCE_XLA_TRAVERSAL=1."""
@@ -256,13 +264,21 @@ def _trace8(table, origins, dirs, t_min, t_max,
 
 
 def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
-                  t_max=1e30, active=None, leaf_size: int = 4) -> Hit:
+                  t_max=1e30, active=None, leaf_size: int = 4,
+                  dense=None) -> Hit:
     """Closest-hit trace (Bridge::traceScatterRay equivalent). Returns Hit
-    with prim mapped back to original scene triangle indices."""
+    with prim mapped back to original scene triangle indices.
+
+    dense: optional ops.mt_dense.DenseMT — the matmul-MT path for
+    small/medium scenes (preferred on TPU when present)."""
     n = origins.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if dense is not None and (_use_pallas() or _dense_interpret()):
+        from . import mt_dense
+        return mt_dense.trace_closest(dense, origins, dirs, t_min, t_max,
+                                      active, interpret=_dense_interpret())
     if hasattr(bvh, "sub_aabb"):  # two-level (Bistro-scale)
         from . import bvh2l
         return bvh2l.trace_closest(bvh, origins, dirs, t_min, t_max,
@@ -287,13 +303,18 @@ def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
 
 
 def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
-                 t_max=1e30, active=None, leaf_size: int = 4):
+                 t_max=1e30, active=None, leaf_size: int = 4,
+                 dense=None):
     """Visibility trace (Bridge::traceVisibilityRay equivalent): True where
     occluded. Inactive rays report unoccluded."""
     n = origins.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if dense is not None and (_use_pallas() or _dense_interpret()):
+        from . import mt_dense
+        return mt_dense.trace_anyhit(dense, origins, dirs, t_min, t_max,
+                                     active, interpret=_dense_interpret())
     if hasattr(bvh, "sub_aabb"):  # two-level (Bistro-scale)
         from . import bvh2l
         return bvh2l.trace_anyhit(bvh, origins, dirs, t_min, t_max,

@@ -73,6 +73,13 @@ def render_image_sharded(assets: integrator.RenderAssets, cam: CameraData,
 
 _POST_HALO = 34   # >= a-trous reach 2*(1+2+4+8) + variance 3 + TAA 1
 
+# jitted shard_map cache: building jax.jit(shard_map(closure)) per call
+# would retrace + recompile EVERY frame (new function identity), which
+# the remote-compile TPU tunnel turns into seconds per frame. Keyed on
+# everything that changes the traced program; jit handles shape changes
+# within an entry.
+_POST_SHARD_CACHE: dict = {}
+
 
 def _pad_rows(img, n_dev):
     h = img.shape[0]
@@ -118,36 +125,42 @@ def denoise_taa_sharded(mesh: Mesh, den_state, taa_state, radiance,
                                              and a.ndim >= 2) else a,
         args)
 
-    def local(den_s, taa_s, rad, nrm, z, mot, rough):
-        ex = lambda a: exchange_row_halo(a, halo, TILE_AXIS) \
-            if (hasattr(a, "ndim") and a.ndim >= 2) else a
-        den_p = jax.tree_util.tree_map(ex, den_s)
-        rad_p, nrm_p, z_p, mot_p = ex(rad), ex(nrm), ex(z), ex(mot)
-        rough_p = ex(rough) if rough is not None else None
-        color, den_n = relax.denoise(den_p, rad_p, nrm_p, z_p, mot_p,
-                                     roughness=rough_p,
-                                     iterations=iterations)
-        crop = lambda a: a[halo:-halo] \
-            if (hasattr(a, "ndim") and a.ndim >= 2
-                and a.shape[0] > 2 * halo) else a
-        if use_taa:
-            taa_p = jax.tree_util.tree_map(ex, taa_s)
-            color, taa_n = taa_mod.resolve(taa_p, color, mot_p)
-            taa_n = jax.tree_util.tree_map(crop, taa_n)
-        else:
-            taa_n = taa_s
-        return (crop(color), jax.tree_util.tree_map(crop, den_n), taa_n)
-
     spec = lambda a: P(TILE_AXIS) if (hasattr(a, "ndim")
                                       and a.ndim >= 2) else P()
-    in_specs = jax.tree_util.tree_map(spec, padded)
-    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                       out_specs=(P(TILE_AXIS),
-                                  jax.tree_util.tree_map(spec, padded[0]),
-                                  jax.tree_util.tree_map(
-                                      spec, padded[1])),
-                       check_vma=False)
-    color, den_n, taa_n = jax.jit(fn)(*padded)
+    key = (mesh, halo, iterations, use_taa,
+           jax.tree_util.tree_structure(padded))
+    if key not in _POST_SHARD_CACHE:
+        def local(den_s, taa_s, rad, nrm, z, mot, rough):
+            ex = lambda a: exchange_row_halo(a, halo, TILE_AXIS) \
+                if (hasattr(a, "ndim") and a.ndim >= 2) else a
+            den_p = jax.tree_util.tree_map(ex, den_s)
+            rad_p, nrm_p, z_p, mot_p = ex(rad), ex(nrm), ex(z), ex(mot)
+            rough_p = ex(rough) if rough is not None else None
+            color, den_n = relax.denoise(den_p, rad_p, nrm_p, z_p, mot_p,
+                                         roughness=rough_p,
+                                         iterations=iterations)
+            crop = lambda a: a[halo:-halo] \
+                if (hasattr(a, "ndim") and a.ndim >= 2
+                    and a.shape[0] > 2 * halo) else a
+            if use_taa:
+                taa_p = jax.tree_util.tree_map(ex, taa_s)
+                color, taa_n = taa_mod.resolve(taa_p, color, mot_p)
+                taa_n = jax.tree_util.tree_map(crop, taa_n)
+            else:
+                taa_n = taa_s
+            return (crop(color), jax.tree_util.tree_map(crop, den_n),
+                    taa_n)
+
+        in_specs = jax.tree_util.tree_map(spec, padded)
+        fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=(P(TILE_AXIS),
+                                      jax.tree_util.tree_map(
+                                          spec, padded[0]),
+                                      jax.tree_util.tree_map(
+                                          spec, padded[1])),
+                           check_vma=False)
+        _POST_SHARD_CACHE[key] = jax.jit(fn)
+    color, den_n, taa_n = _POST_SHARD_CACHE[key](*padded)
     crop0 = lambda a: a[:h0] if (hasattr(a, "ndim") and a.ndim >= 2
                                  and a.shape[0] >= h0) else a
     return (crop0(color),

@@ -77,7 +77,8 @@ def trace_gbuffer(assets, cam: CameraData, prev_cam: CameraData,
     PSD dominant-lobe selection)."""
     n = px.shape[0]
     origin, direction = compute_rays(cam, px, py)
-    hit = traverse.trace_closest(assets.bvh, assets.soup, origin, direction)
+    hit = traverse.trace_closest(assets.bvh, assets.soup, origin,
+                                 direction, dense=assets.dense)
     valid = hit.valid
     surf = shading.load_surface(assets.scene, jnp.maximum(hit.prim, 0),
                                 hit.bary, direction)
@@ -127,7 +128,8 @@ def trace_gbuffer(assets, cam: CameraData, prev_cam: CameraData,
                                        sdi.nested_priority,
                                        sdi.front_facing), interior)
         hit2 = traverse.trace_closest(assets.bvh, assets.soup, new_origin,
-                                      new_dir, active=step)
+                                      new_dir, active=step,
+                                      dense=assets.dense)
         emission_acc = emission_acc + jnp.where(
             step[..., None], psr_thp * surf.emission, 0.0)
         surf2 = shading.load_surface(assets.scene,

