@@ -52,7 +52,8 @@ def build_arg_parser():
                    help="named config preset (LocalConfig equivalent); "
                    "ref-vs-realtime: realtime stripped to match the "
                    "reference estimator (A/B oracle)")
-    p.add_argument("--stable-planes", action="store_true",
+    p.add_argument("--stable-planes",
+                   action=argparse.BooleanOptionalAction, default=True,
                    help="realtime: full 3-plane stable-planes "
                    "decomposition (BUILD/FILL) instead of PSR-lite")
     p.add_argument("--quiet", action="store_true")

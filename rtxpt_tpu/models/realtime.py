@@ -60,6 +60,7 @@ class FrameOutputs(NamedTuple):
     view_z: jnp.ndarray
     diffuse_albedo: jnp.ndarray
     specular_albedo: jnp.ndarray
+    roughness: jnp.ndarray
     emission_bg: jnp.ndarray
     psr_thp: jnp.ndarray
     reservoir: Reservoir
@@ -221,6 +222,7 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         normal=r3(gb.normal), view_z=r1(gb.view_z),
         diffuse_albedo=r3(gb.diffuse_albedo),
         specular_albedo=r3(gb.specular_albedo),
+        roughness=r1(gb.roughness),
         emission_bg=r3(emission_bg), psr_thp=r3(gb.psr_thp),
         reservoir=r_feedback, gi_reservoir=gi_feedback,
         gb_normal=gb.normal, gb_view_z=gb.view_z)
@@ -286,7 +288,9 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
         r_feedback = r
         r = di.spatial_resample(assets, gb, r, px, py, width, height,
                                 frame)
-        di_d, di_s = di.final_shade(assets, gb, r)
+        if not cfg.use_restir_gi:
+            di_d, di_s = di.final_shade(assets, gb, r)
+        # else: fused DI+GI final below (ExecuteFusedDIGIFinal)
     else:
         r_feedback = Reservoir.empty(n)
         di_d = jnp.zeros((n, 3))
@@ -454,7 +458,8 @@ def _post_frame(out: FrameOutputs, den_diff, den_spec, taa_state, *,
                                          out.view_z, out.motion)
         spec_f, den_spec = relax.denoise(den_spec, spec_in, out.normal,
                                          out.view_z, out.motion,
-                                         roughness=None, iterations=3)
+                                         roughness=out.roughness,
+                                         iterations=3)
     else:
         diff_f, spec_f = diff_in, spec_in
     color = out.emission_bg + out.psr_thp * (
@@ -473,9 +478,13 @@ class RealtimeRenderer(Renderer):
         """mesh: optional jax.sharding.Mesh — when it spans >1 device the
         post pipeline (denoise+TAA) runs row-sharded with halo exchange
         (parallel/meshutils.denoise_taa_sharded)."""
+        # reference realtime default: 3-plane stable-planes decomposition
+        # (RTXPT/PathTracer/Config.h:81); PSR-lite single-plane G-buffer
+        # remains available via use_stable_planes=False
         cfg = cfg or realtime_config(use_restir_di=True,
                                      use_restir_gi=True,
-                                     denoiser_enabled=True)
+                                     denoiser_enabled=True,
+                                     use_stable_planes=True)
         super().__init__(host_scene, camera, cfg, **kw)
         self.mesh = mesh
         self.frame_index = 0
@@ -589,7 +598,8 @@ class RealtimeRenderer(Renderer):
             out.view_z, out.motion, use_taa=False)
         spec_f, den_spec, _ = meshutils.denoise_taa_sharded(
             self.mesh, self.den_spec, None, spec_in, out.normal,
-            out.view_z, out.motion, iterations=3, use_taa=False)
+            out.view_z, out.motion, roughness=out.roughness,
+            iterations=3, use_taa=False)
         color = out.emission_bg + out.psr_thp * (
             diff_f * out.diffuse_albedo + spec_f * out.specular_albedo)
         taa_state = self.taa_state
@@ -602,6 +612,57 @@ class RealtimeRenderer(Renderer):
             color, taa_state = taa_mod.resolve(taa_state, color,
                                                out.motion)
         return color, den_diff, den_spec, taa_state
+
+    def _post_sharded_stable(self, sp, committed_diff, committed_spec,
+                             spec_motion, width, height, taa):
+        """Multi-chip stage 2 for the stable-planes pipeline: each
+        plane's diffuse/specular channels run the halo-exchanged sharded
+        denoiser (parallel/meshutils.denoise_taa_sharded); merge + TAA
+        stay local (cheap single-pixel-stencil work)."""
+        from ..parallel import meshutils
+        from ..pt import stableplanes as SPM
+        P = self.cfg.stable_plane_count
+        shp = (height, width)
+        eps = 1e-3
+        color = sp.stable_radiance.reshape(shp + (3,))
+        new_den = []
+        for p in range(P):
+            d_in = (committed_diff[:, p, :3]
+                    / jnp.maximum(sp.diff_est[:, p], eps)
+                    ).reshape(shp + (3,))
+            s_in = (committed_spec[:, p, :3]
+                    / jnp.maximum(sp.spec_est[:, p], eps)
+                    ).reshape(shp + (3,))
+            normal = sp.normal[:, p].reshape(shp + (3,))
+            view_z = sp.view_z[:, p].reshape(shp)
+            motion = sp.motion[:, p].reshape(shp + (2,))
+            dd, ds = self.den_states[p]
+            d_f, dd, _ = meshutils.denoise_taa_sharded(
+                self.mesh, dd, None, d_in, normal, view_z, motion,
+                use_taa=False)
+            s_f, ds, _ = meshutils.denoise_taa_sharded(
+                self.mesh, ds, None, s_in, normal, view_z,
+                spec_motion[:, p].reshape(shp + (2,)),
+                roughness=sp.roughness[:, p].reshape(shp),
+                iterations=3, use_taa=False)
+            new_den.append((dd, ds))
+            valid = (sp.branch_id[:, p]
+                     != SPM.INVALID_BRANCH).reshape(shp)
+            plane_col = d_f * sp.diff_est[:, p].reshape(shp + (3,)) \
+                + s_f * sp.spec_est[:, p].reshape(shp + (3,))
+            color = color + jnp.where(valid[..., None], plane_col, 0.0)
+        self.den_states = new_den
+        if taa:
+            dom_oh = (jnp.arange(P)[None, :] == sp.dominant[:, None])
+            motion_dom = jnp.sum(sp.motion * dom_oh[..., None],
+                                 axis=1).reshape(shp + (2,))
+            if self.taa_state is None:
+                self.taa_state = taa_mod.TAAState(
+                    history=jnp.zeros_like(color),
+                    valid=jnp.asarray(False))
+            color, self.taa_state = taa_mod.resolve(self.taa_state,
+                                                    color, motion_dom)
+        return color
 
     def _apply_taau(self, color, motion, display_size, jitter):
         """DLSS-slot upscaler: render-res color -> display-res output."""
@@ -637,6 +698,18 @@ class RealtimeRenderer(Renderer):
         P = self.cfg.stable_plane_count
         if self.den_states is None:
             self.den_states = [(None, None)] * P
+        if self.mesh is not None and self.mesh.devices.size > 1 and \
+                use_den:
+            color = self._post_sharded_stable(sp, cdiff, cspec, smot,
+                                              width, height, taa)
+            self.last_stable_planes = sp
+            self.prev_cam = cam
+            self.prev_reservoir = r_fb
+            self.prev_gi = gi_fb
+            self.prev_gb_normal = gb_normal
+            self.prev_gb_z = gb_z
+            self.frame_index += 1
+            return color
         post_key = ("sp", width, height, use_den, taa,
                     self.den_states[0][0] is not None,
                     self.taa_state is not None)

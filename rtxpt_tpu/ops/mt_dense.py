@@ -277,25 +277,30 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
         v_out[0] = jnp.zeros((TILE,), jnp.float32)
 
         if any_hit:
-            def cond(carry):
-                j, found = carry
-                return (j < cnt) & jnp.any(act & ~found)
-
-            def body(carry):
-                j, found = carry
+            # NOTE: no vector while-carry here — Mosaic fails to
+            # legalize (TILE,) i1 carries and MIScompiles i32 vector
+            # carries (silent wrong results, r3 chip test). Found-state
+            # lives in the output ref like the closest path; the
+            # near-to-far worklist already bounds the loop, so the lost
+            # early-exit costs little.
+            def body(j, _):
                 c = clist_ref[i, j]
+                live = act & (prim_out[0] < 0)
                 wc = w_ref[pl.ds(c * RC, RC), :]
                 out = jax.lax.dot_general(
                     wc, x, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-                ok, _, _, _ = _pair_test(out, has_omm, t_min,
-                                         tmax_ref[0], act & ~found)
-                return j + 1, found | jnp.any(ok, axis=0)
+                ok, t, _, _ = _pair_test(out, has_omm, t_min,
+                                         tmax_ref[0], live)
+                # f32 min-reduction instead of jnp.any over i1 sublanes
+                # (Mosaic silently miscompiled the boolean reduce on v5e)
+                tt = jnp.where(ok, t, jnp.inf)
+                found = jnp.min(tt, axis=0) < jnp.inf
+                prim_out[0] = jnp.where(found, 0, prim_out[0])
+                return 0
 
-            _, found = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.zeros((TILE,), bool)))
-            prim_out[0] = jnp.where(found, 0, prim_out[0])
+            jax.lax.fori_loop(0, cnt, body, 0)
         else:
             def body(j, _):
                 c = clist_ref[i, j]

@@ -111,8 +111,8 @@ def presample_lights(assets, sample_index, tiles: int = 32,
     g = rng.start_effect(g, EFFECT_RESTIR_PRESAMPLE)
     g, u3 = rng.next_3d(g, allow_ld=False)
     g, u_env = rng.next_2d(g, allow_ld=False)
-    is_env = (eid % jnp.uint32(max(int(1.0 / max(env_fraction, 1e-3)), 1))
-              ) == 0
+    stride = max(int(1.0 / max(env_fraction, 1e-3)), 1)
+    is_env = (eid % jnp.uint32(stride)) == 0
 
     if lt is not None:
         li_idx = jnp.clip(jnp.searchsorted(lt.cdf, u3[..., 0]), 0,
@@ -144,6 +144,17 @@ def presample_lights(assets, sample_index, tiles: int = 32,
     d, e_pdf, _ = EM.sample_mip_descent(assets.env, u_env)
     e_uv = mu.encode_oct(d)
     e_inv = jnp.where(e_pdf > 0.0, 1.0 / jnp.maximum(e_pdf, 1e-20), 0.0)
+
+    # candidates draw UNIFORM entries from a tile that interleaves env
+    # and local samples, so the effective source pdf is the MIXTURE
+    # (f_env * p_env | (1-f_env) * p_local), not the per-stratum pdf.
+    # Bake the mixture factor into the stored 1/pdf — without it every
+    # candidate weight is low by its stratum fraction and ReSTIR DI
+    # converges to ~half the true direct light (round-3 bias hunt).
+    if lt is not None:
+        f_env = 1.0 / stride
+        e_inv = e_inv / f_env
+        l_inv = l_inv / max(1.0 - f_env, 1e-6)
 
     light = jnp.where(is_env, LIGHT_ENV, l_light)
     uv = jnp.where(is_env[..., None], e_uv, l_uv)
