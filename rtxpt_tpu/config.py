@@ -66,6 +66,14 @@ class PTConfig:
     #   octant sort, permuting the whole PathState (round-2 behavior;
     #   helps the BVH kernels on big scenes at permute-gather cost).
     wavefront_sort: str = "none"
+    # NRD-slot denoiser selection (Sample.cpp:1461-1466): "relax"
+    # (a-trous variance-guided, denoise/relax.py) or "reblur"
+    # (hit-distance-driven kernel scaling, denoise/reblur.py)
+    denoiser_method: str = "relax"
+    # exact per-hit texture alpha test for visibility rays hitting
+    # OMM-unknown cells of MASK materials (pt/visibility.py; the
+    # Renderer clears it for scenes without MASK materials)
+    exact_alpha_test: bool = True
 
 
 class PTConstants(NamedTuple):

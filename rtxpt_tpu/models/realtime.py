@@ -34,7 +34,7 @@ import numpy as np
 from .. import config as C
 from ..core import mathutils as mu
 from ..core import rng
-from ..denoise import relax
+from ..denoise import reblur, relax
 from ..post import taa as taa_mod
 from ..post import tonemap
 from ..pt import bsdf as B
@@ -97,7 +97,8 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         r = di.spatial_resample(assets, gb, r, px, py, width, height,
                                 frame)
         if not cfg.use_restir_gi:
-            di_d, di_s = di.final_shade(assets, gb, r)
+            di_d, di_s = di.final_shade(assets, gb, r,
+                                        exact_alpha=cfg.exact_alpha_test)
         # else: fused DI+GI final below (one batched visibility trace,
         # RtxdiPass::ExecuteFusedDIGIFinal)
     else:
@@ -186,10 +187,11 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         gi_feedback = gr
         gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
         if cfg.use_restir_di:
-            di_d, di_s, gi_d, gi_s = di.fused_final_shade(assets, gb, r,
-                                                          gr)
+            di_d, di_s, gi_d, gi_s = di.fused_final_shade(
+                assets, gb, r, gr, exact_alpha=cfg.exact_alpha_test)
         else:
-            gi_d, gi_s = gi.final_shade(assets, gb, gr)
+            gi_d, gi_s = gi.final_shade(
+                assets, gb, gr, exact_alpha=cfg.exact_alpha_test)
         ind_d = jnp.where(gi_eligible[..., None], gi_d,
                           jnp.where((primary_diffuse
                                      | ~gb.valid)[..., None],
@@ -289,7 +291,8 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
         r = di.spatial_resample(assets, gb, r, px, py, width, height,
                                 frame)
         if not cfg.use_restir_gi:
-            di_d, di_s = di.final_shade(assets, gb, r)
+            di_d, di_s = di.final_shade(assets, gb, r,
+                                        exact_alpha=cfg.exact_alpha_test)
         # else: fused DI+GI final below (ExecuteFusedDIGIFinal)
     else:
         r_feedback = Reservoir.empty(n)
@@ -352,10 +355,11 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
         gi_feedback = gr
         gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
         if cfg.use_restir_di:
-            di_d, di_s, gi_d, gi_s = di.fused_final_shade(assets, gb, r,
-                                                          gr)
+            di_d, di_s, gi_d, gi_s = di.fused_final_shade(
+                assets, gb, r, gr, exact_alpha=cfg.exact_alpha_test)
         else:
-            gi_d, gi_s = gi.final_shade(assets, gb, gr)
+            gi_d, gi_s = gi.final_shade(
+                assets, gb, gr, exact_alpha=cfg.exact_alpha_test)
     else:
         gi_feedback = gi.GIReservoir.empty(n)
         gi_d = jnp.zeros((n, 3))
@@ -400,7 +404,8 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
 
 def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
                        den_states, taa_state, *, width: int, height: int,
-                       use_den: bool, use_taa: bool):
+                       use_den: bool, use_taa: bool,
+                       method: str = "relax"):
     """Stage 2 for stable planes: per-plane demodulate -> denoise ->
     remodulate -> merge (+stable radiance) -> TAA. Mirrors
     Sample::Denoise (Sample.cpp:2398-2440) + PostProcess final merge."""
@@ -424,11 +429,19 @@ def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
                  != SPM.INVALID_BRANCH).reshape(shp)
         if use_den:
             dd, ds = den_states[p]
-            d_f, dd = relax.denoise(dd, d_in, normal, view_z, motion)
-            s_f, ds = relax.denoise(ds, s_in, normal, view_z,
-                                    spec_motion[:, p].reshape(shp + (2,)),
-                                    roughness=sp.roughness[:, p].reshape(
-                                        shp), iterations=3)
+            den = reblur if method == "reblur" else relax
+            extra_d = {}
+            extra_s = {}
+            if method == "reblur":
+                # hit-distance channel drives the ReBLUR kernel radius
+                extra_d = dict(hit_t=committed_diff[:, p, 3].reshape(shp))
+                extra_s = dict(hit_t=committed_spec[:, p, 3].reshape(shp))
+            d_f, dd = den.denoise(dd, d_in, normal, view_z, motion,
+                                  **extra_d)
+            s_f, ds = den.denoise(ds, s_in, normal, view_z,
+                                  spec_motion[:, p].reshape(shp + (2,)),
+                                  roughness=sp.roughness[:, p].reshape(
+                                      shp), iterations=3, **extra_s)
             new_den.append((dd, ds))
         else:
             d_f, s_f = d_in, s_in
@@ -440,12 +453,18 @@ def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
         dom_oh = (jnp.arange(P)[None, :] == sp.dominant[:, None])
         motion_dom = jnp.sum(sp.motion * dom_oh[..., None],
                              axis=1).reshape(shp + (2,))
-        color, taa_state = taa_mod.resolve(taa_state, color, motion_dom)
+        relax_mask = None
+        if use_den and new_den and new_den[0] is not None:
+            # dominant-plane diffuse history drives the clamp relax;
+            # plane 0 approximates dominant (it exists for every pixel)
+            relax_mask = jnp.clip(2.0 - new_den[0][0].history, 0.0, 1.0)
+        color, taa_state = taa_mod.resolve(taa_state, color, motion_dom,
+                                           relax_mask=relax_mask)
     return color, new_den, taa_state
 
 
 def _post_frame(out: FrameOutputs, den_diff, den_spec, taa_state, *,
-                use_den: bool, use_taa: bool):
+                use_den: bool, use_taa: bool, method: str = "relax"):
     """Stage 2 (post pipeline): demodulate, denoise (ReLAX), compose,
     TAA. Pure function of (frame outputs, temporal states)."""
     eps = 1e-3
@@ -453,19 +472,24 @@ def _post_frame(out: FrameOutputs, den_diff, den_spec, taa_state, *,
         jnp.maximum(out.diffuse_albedo, eps)
     spec_in = (out.di_specular + out.indirect_specular) / \
         jnp.maximum(out.specular_albedo, eps)
+    relax_mask = None
     if use_den:
-        diff_f, den_diff = relax.denoise(den_diff, diff_in, out.normal,
-                                         out.view_z, out.motion)
-        spec_f, den_spec = relax.denoise(den_spec, spec_in, out.normal,
-                                         out.view_z, out.motion,
-                                         roughness=out.roughness,
-                                         iterations=3)
+        den = reblur if method == "reblur" else relax
+        diff_f, den_diff = den.denoise(den_diff, diff_in, out.normal,
+                                       out.view_z, out.motion)
+        spec_f, den_spec = den.denoise(den_spec, spec_in, out.normal,
+                                       out.view_z, out.motion,
+                                       roughness=out.roughness,
+                                       iterations=3)
+        # disocclusion/history-reset signal -> TAA clamp relax
+        relax_mask = jnp.clip(2.0 - den_diff.history, 0.0, 1.0)
     else:
         diff_f, spec_f = diff_in, spec_in
     color = out.emission_bg + out.psr_thp * (
         diff_f * out.diffuse_albedo + spec_f * out.specular_albedo)
     if use_taa:
-        color, taa_state = taa_mod.resolve(taa_state, color, out.motion)
+        color, taa_state = taa_mod.resolve(taa_state, color, out.motion,
+                                           relax_mask=relax_mask)
     return color, den_diff, den_spec, taa_state
 
 
@@ -565,7 +589,8 @@ class RealtimeRenderer(Renderer):
                         self.taa_state is not None)
             if post_key not in self._post_jit:
                 self._post_jit[post_key] = jax.jit(functools.partial(
-                    _post_frame, use_den=use_den, use_taa=taa))
+                    _post_frame, use_den=use_den, use_taa=taa,
+                    method=self.cfg.denoiser_method))
             color, self.den_diff, self.den_spec, self.taa_state = \
                 self._post_jit[post_key](out, self.den_diff,
                                          self.den_spec, self.taa_state)
@@ -716,7 +741,8 @@ class RealtimeRenderer(Renderer):
         if post_key not in self._post_jit:
             self._post_jit[post_key] = jax.jit(functools.partial(
                 _post_frame_stable, width=width, height=height,
-                use_den=use_den, use_taa=taa))
+                use_den=use_den, use_taa=taa,
+                method=self.cfg.denoiser_method))
         color, self.den_states, self.taa_state = self._post_jit[post_key](
             sp, cdiff, cspec, smot, self.den_states, self.taa_state)
 

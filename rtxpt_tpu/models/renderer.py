@@ -78,8 +78,31 @@ class Renderer:
         # carry baked opacity micro-masks (the OMM equivalent)
         from ..scene.omm import bake_opacity_masks
         tri_omm = bake_opacity_masks(host_scene)
+        # exact alpha re-test only matters when MASK materials exist
+        import numpy as _np
+        has_mask = bool(
+            (_np.asarray(host_scene["materials"]["alpha_mode"]) == 1)
+            .any()) and bool(host_scene.get("texture_images"))
+        if self.cfg.exact_alpha_test and not has_mask:
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, exact_alpha_test=False)
         n_tris = host_scene["indices"].shape[0]
-        if n_tris > 45_000:
+        inst = host_scene.get("instancing")
+        import os as _os
+        use_instanced = (
+            inst is not None and not host_scene.get("skin_bindings")
+            and _os.environ.get("RTXPT_INSTANCED", "auto") != "0"
+            and (_os.environ.get("RTXPT_INSTANCED") == "1"
+                 or (n_tris > 45_000 and max(
+                     m["indices"].shape[0]
+                     for m in inst["meshes"]) <= 25_000)))
+        if use_instanced:
+            # real TLAS over deduplicated object-space BLASes
+            # (ops/instanced.py; RTXPT/Sample.cpp:1353-1421)
+            from ..ops import instanced as inst_mod
+            self.bvh = inst_mod.build_instanced(
+                inst, leaf_size=self.cfg.leaf_size)
+        elif n_tris > 45_000:
             # Bistro-scale: the single table would blow the VMEM budget;
             # two-level TLAS/BLAS-style partition (ops/bvh2l.py)
             from ..ops import bvh2l
@@ -254,10 +277,17 @@ class Renderer:
         skinned BLAS updates): skins vertex ranges on device and refits
         the BVH8 in place; subsequent renders see the new pose."""
         from ..scene.animation import refresh_skinned
+        from ..scene import lights as LI
         self.scene, self.bvh = refresh_skinned(
             self.host_scene, info, self.scene, self.bvh, time,
             animation_index)
-        self.assets = self.assets._replace(scene=self.scene, bvh=self.bvh)
+        if self.lights is not None:
+            # re-bake packed emissive-triangle verts from the skinned
+            # positions (light side of Scene::Refresh)
+            self.lights = LI.refresh_pack(self.lights, self.scene.positions,
+                                          self.scene.indices)
+        self.assets = self.assets._replace(scene=self.scene, bvh=self.bvh,
+                                           lights=self.lights)
 
     def tonemapped(self, hdr, exposure: float = 1.0,
                    auto_expose: bool = True):

@@ -1,0 +1,294 @@
+"""Instanced two-level acceleration structure: a real TLAS over
+object-space BLASes.
+
+The round-2 two-level path (ops/bvh2l.py) cuts the FLATTENED world-space
+triangle soup, so meshes shared by several instances are duplicated and
+a moving rigid instance forces a subtree rebuild. This module mirrors
+the reference's actual shape (RTXPT/Sample.cpp:1353-1421: per-frame TLAS
+build over object-space BLASes + instance transforms;
+AccelerationStructureUtil.h):
+
+  * ONE BVH8 per unique mesh, built in OBJECT space (deduplicated);
+  * a TLAS of per-instance world AABBs + world->object transforms;
+  * traversal scans instances near-to-far-ish: the ray is transformed
+    into object space (t is invariant under the affine map because the
+    direction is transformed unnormalized) and runs the SAME single-table
+    Pallas/XLA BVH8 kernel against the instance's mesh table with
+    `t_max = best so far`;
+  * rigid animation = set_instance_transform: updates one transform row
+    + world AABB — no BLAS rebuild (the reference's UpdateInstance path).
+
+Mirrored instances (negative determinant) flip triangle winding in the
+flattened shading arrays; hits remap barycentrics accordingly so
+interpolation against the flat scene stays correct.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh import build_bvh, collapse_bvh8
+from .intersect import Hit
+
+
+@jax.tree_util.register_pytree_node_class
+class InstancedTL:
+    def __init__(self, mesh_nodes_t, mesh_leaves_t, mesh_tables,
+                 mesh_leaf_tris, inst_mesh, inst_inv, inst_aabb,
+                 inst_tri_offset, inst_flip, inst_by_mesh,
+                 leaf_size: int, rows: int):
+        self.mesh_nodes_t = mesh_nodes_t      # (M, 72, S) bf16
+        self.mesh_leaves_t = mesh_leaves_t    # (M, 29*ls, S) bf16
+        self.mesh_tables = mesh_tables        # (M, S, W) f32 (XLA path)
+        self.mesh_leaf_tris = mesh_leaf_tris  # (M, S*ls) i32 mesh-local
+        self.inst_mesh = inst_mesh            # (I,) i32
+        self.inst_inv = inst_inv              # (I, 3, 4) world->object
+        self.inst_aabb = inst_aabb            # (I, 6) world AABB
+        self.inst_tri_offset = inst_tri_offset  # (I,) i32 flat-tri base
+        self.inst_flip = inst_flip            # (I,) bool mirrored winding
+        self.inst_by_mesh = inst_by_mesh      # (M, Imax) i32, -1 padded
+        self.leaf_size = leaf_size
+        self.rows = rows
+
+    @property
+    def num_instances(self) -> int:
+        return self.inst_aabb.shape[0]
+
+    @property
+    def num_meshes(self) -> int:
+        return self.mesh_tables.shape[0]
+
+    def tree_flatten(self):
+        return ((self.mesh_nodes_t, self.mesh_leaves_t, self.mesh_tables,
+                 self.mesh_leaf_tris, self.inst_mesh, self.inst_inv,
+                 self.inst_aabb, self.inst_tri_offset, self.inst_flip,
+                 self.inst_by_mesh),
+                (self.leaf_size, self.rows))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, leaf_size=aux[0], rows=aux[1])
+
+
+def _invert_affine(xf: np.ndarray) -> np.ndarray:
+    inv_lin = np.linalg.inv(xf[:, :3])
+    out = np.zeros((3, 4), np.float32)
+    out[:, :3] = inv_lin
+    out[:, 3] = -inv_lin @ xf[:, 3]
+    return out
+
+
+def _world_aabb(positions: np.ndarray, xf: np.ndarray) -> np.ndarray:
+    p = positions @ xf[:, :3].T + xf[:, 3]
+    return np.concatenate([p.min(0), p.max(0)]).astype(np.float32)
+
+
+def build_instanced(instancing: dict, *, leaf_size: int = 4,
+                    leaf_collapse: int = 16) -> InstancedTL:
+    """Host build from SceneBuilder.finish()['instancing']."""
+    import ml_dtypes
+    meshes = instancing["meshes"]
+    mesh_of = np.asarray(instancing["mesh_of_instance"], np.int64)
+    xforms = np.asarray(instancing["transforms"], np.float32)
+    used = sorted(set(mesh_of.tolist()))
+    remap = {m: i for i, m in enumerate(used)}
+
+    blas = []
+    for m in used:
+        g = meshes[m]
+        b2 = build_bvh(g["positions"], g["indices"], leaf_size=leaf_size)
+        b8 = collapse_bvh8(b2, g["positions"], g["indices"],
+                           leaf_collapse=leaf_collapse)
+        blas.append(b8)
+    s_rows = max(b.table.shape[0] for b in blas)
+    width = blas[0].table.shape[1]
+    ls = leaf_collapse
+    bf = np.dtype(ml_dtypes.bfloat16)
+    k = len(blas)
+    nodes_bf = np.zeros((k, 72, s_rows), bf)
+    leaves_bf = np.zeros((k, 29 * ls, s_rows), bf)
+    tables = np.zeros((k, s_rows, width), np.float32)
+    leaf_tris = np.full((k, s_rows * ls), -1, np.int32)
+    for i, b8 in enumerate(blas):
+        r = b8.table.shape[0]
+        nodes_bf[i, :, :r] = np.asarray(b8.nodes_t)
+        leaves_bf[i, :, :r] = np.asarray(b8.leaves_t)
+        tables[i, :r] = np.asarray(b8.table)
+        leaf_tris[i, :r * ls] = np.asarray(b8.leaf_tris)
+
+    n_inst = mesh_of.shape[0]
+    groups = [[i for i in range(n_inst) if remap[int(mesh_of[i])] == g]
+              for g in range(k)]
+    imax = max(len(g) for g in groups)
+    by_mesh = np.full((k, imax), -1, np.int32)
+    for g, ids in enumerate(groups):
+        by_mesh[g, :len(ids)] = ids
+    inv = np.stack([_invert_affine(xforms[i]) for i in range(n_inst)])
+    aabb = np.stack([_world_aabb(meshes[int(mesh_of[i])]["positions"],
+                                 xforms[i]) for i in range(n_inst)])
+    flip = np.asarray([np.linalg.det(xforms[i][:, :3]) < 0.0
+                       for i in range(n_inst)])
+    return InstancedTL(
+        mesh_nodes_t=jnp.asarray(nodes_bf),
+        mesh_leaves_t=jnp.asarray(leaves_bf),
+        mesh_tables=jnp.asarray(tables),
+        mesh_leaf_tris=jnp.asarray(leaf_tris),
+        inst_mesh=jnp.asarray(np.asarray([remap[int(m)] for m in mesh_of],
+                                         np.int32)),
+        inst_inv=jnp.asarray(inv.astype(np.float32)),
+        inst_aabb=jnp.asarray(aabb),
+        inst_tri_offset=jnp.asarray(
+            np.asarray(instancing["tri_offset"], np.int32)),
+        inst_flip=jnp.asarray(flip),
+        inst_by_mesh=jnp.asarray(by_mesh),
+        leaf_size=ls, rows=s_rows)
+
+
+def set_instance_transform(tl: InstancedTL, instancing: dict,
+                           index: int, xf: np.ndarray) -> InstancedTL:
+    """Rigid-motion refit: new transform for one instance — updates its
+    inverse + world AABB rows only (no BLAS rebuild; the TLAS 'build'
+    here is just these rows)."""
+    xf = np.asarray(xf, np.float32)
+    mesh = instancing["meshes"][
+        int(instancing["mesh_of_instance"][index])]
+    inv = _invert_affine(xf)
+    aabb = _world_aabb(mesh["positions"], xf)
+    flip = bool(np.linalg.det(xf[:, :3]) < 0.0)
+    return InstancedTL(
+        mesh_nodes_t=tl.mesh_nodes_t, mesh_leaves_t=tl.mesh_leaves_t,
+        mesh_tables=tl.mesh_tables, mesh_leaf_tris=tl.mesh_leaf_tris,
+        inst_mesh=tl.inst_mesh,
+        inst_inv=tl.inst_inv.at[index].set(jnp.asarray(inv)),
+        inst_aabb=tl.inst_aabb.at[index].set(jnp.asarray(aabb)),
+        inst_tri_offset=tl.inst_tri_offset,
+        inst_flip=tl.inst_flip.at[index].set(flip),
+        inst_by_mesh=tl.inst_by_mesh,
+        leaf_size=tl.leaf_size, rows=tl.rows)
+
+
+def _top_slabs(tl: InstancedTL, origins, dirs, t_min, t_max):
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
+                          jnp.where(dirs < 0, -1e-12, 1e-12), dirs)
+    bmin = tl.inst_aabb[:, 0:3]
+    bmax = tl.inst_aabb[:, 3:6]
+    t0 = (bmin[None] - origins[:, None]) * inv[:, None]
+    t1 = (bmax[None] - origins[:, None]) * inv[:, None]
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), t_min)
+    tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1),
+                     jnp.broadcast_to(t_max[:, None], tn.shape))
+    return tn <= tf, tn
+
+
+def _use_pallas():
+    from .traverse import _use_pallas as up
+    return up()
+
+
+def _trace_mesh_rounds(tl: InstancedTL, m: int, origins, dirs, tn_k,
+                       hit_k, init_best, active, any_hit: bool):
+    """All rays vs every instance of mesh m, in near-to-far ROUNDS: each
+    round every ray picks its nearest not-yet-visited overlapping
+    instance (per-lane world->object transform), and one shared BVH8
+    dispatch traces the whole wavefront against the mesh table. Rounds
+    repeat while any ray still has a candidate — the TLAS traversal
+    expressed as dense per-ray argmins instead of pointer chasing."""
+    n = origins.shape[0]
+    ids = tl.inst_by_mesh[m]                       # (Imax,) -1 padded
+    valid_ids = ids >= 0
+    idsc = jnp.maximum(ids, 0)
+    tn_m = jnp.where(valid_ids[None, :] & hit_k[:, idsc],
+                     tn_k[:, idsc], jnp.inf)       # (N, Imax)
+    imax = ids.shape[0]
+    nodes_m = tl.mesh_nodes_t[m]
+    leaves_m = tl.mesh_leaves_t[m]
+    table_m = tl.mesh_tables[m]
+    lt_m = tl.mesh_leaf_tris[m]
+    use_pallas = _use_pallas()
+
+    def round_body(carry):
+        best_t, best_prim, best_u, best_v, tn_prev, more, it = carry
+        cand = (tn_m < best_t[:, None]) & (tn_m > tn_prev[:, None])
+        key = jnp.where(cand, tn_m, jnp.inf)
+        sel = jnp.argmin(key, axis=1)              # (N,)
+        sel_tn = jnp.take_along_axis(key, sel[:, None], 1)[:, 0]
+        has = jnp.isfinite(sel_tn) & active
+        inst = idsc[sel]                           # (N,)
+        inv = tl.inst_inv[inst]                    # (N,3,4)
+        o_obj = jnp.einsum("nij,nj->ni", inv[:, :, :3], origins) \
+            + inv[:, :, 3]
+        d_obj = jnp.einsum("nij,nj->ni", inv[:, :, :3], dirs)
+        if use_pallas:
+            from .traverse_pallas import _trace_pallas
+            t, prim, uv = _trace_pallas(
+                nodes_m, leaves_m, o_obj, d_obj, best_t, has,
+                rows=tl.rows, leaf_size=tl.leaf_size, any_hit=any_hit)
+            u, v = uv[..., 0], uv[..., 1]
+        else:
+            from .traverse import _trace8
+            t, prim, uv, _ = _trace8(
+                table_m, o_obj, d_obj, jnp.float32(0.0), best_t, has,
+                leaf_size=tl.leaf_size, any_hit=any_hit)
+            u, v = uv[..., 0], uv[..., 1]
+        local = jnp.where(prim >= 0, lt_m[jnp.maximum(prim, 0)], -1)
+        flat = jnp.where(local >= 0,
+                         local + tl.inst_tri_offset[inst], -1)
+        # mirrored instances flipped flat winding: (u,v) -> (u, 1-u-v)
+        v = jnp.where(tl.inst_flip[inst], 1.0 - u - v, v)
+        found = has & (flat >= 0) & (t < best_t)
+        best_prim = jnp.where(found, flat, best_prim)
+        best_u = jnp.where(found, u, best_u)
+        best_v = jnp.where(found, v, best_v)
+        best_t = jnp.where(found, t, best_t)
+        # advance the per-ray sweep front past the visited instance
+        tn_prev = jnp.where(has, sel_tn, tn_prev)
+        more2 = jnp.any(has)
+        if any_hit:
+            more2 = more2 & jnp.any(active & (best_prim < 0))
+        return (best_t, best_prim, best_u, best_v, tn_prev, more2,
+                it + 1)
+
+    def cond(carry):
+        # `more` was computed by the previous round (did any lane still
+        # have a candidate?) so the cond itself is O(1) — the O(N*Imax)
+        # candidate sweep runs once per round, not twice
+        return carry[5] & (carry[6] < imax)
+
+    bt, bp, bu, bv, _, _, _ = jax.lax.while_loop(
+        cond, round_body,
+        (init_best[0], init_best[1], init_best[2], init_best[3],
+         jnp.full((n,), -jnp.inf), jnp.asarray(True), jnp.int32(0)))
+    return bt, bp, bu, bv
+
+
+def trace_closest(tl: InstancedTL, origins, dirs, t_min=0.0, t_max=1e30,
+                  active=None) -> Hit:
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
+    best = (t_max, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,)), jnp.zeros((n,)))
+    for m in range(tl.num_meshes):          # static, M is small
+        best = _trace_mesh_rounds(tl, m, origins, dirs, tn_k, hit_k,
+                                  best, active, any_hit=False)
+    bt, bp, bu, bv = best
+    return Hit(bt, bp, jnp.stack([bu, bv], -1))
+
+
+def trace_anyhit(tl: InstancedTL, origins, dirs, t_min=0.0, t_max=1e30,
+                 active=None):
+    n = origins.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
+    best = (t_max, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,)), jnp.zeros((n,)))
+    for m in range(tl.num_meshes):
+        live = active & (best[1] < 0)
+        best = _trace_mesh_rounds(tl, m, origins, dirs, tn_k, hit_k,
+                                  best, live, any_hit=True)
+    return best[1] >= 0

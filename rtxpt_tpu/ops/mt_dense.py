@@ -260,9 +260,8 @@ def _pair_test(out, has_omm, t_min, best_t, act):
 
 def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
     RC = (5 if has_omm else 4) * CLUSTER
-    rows_iota = None
 
-    def kernel(counts_ref, clist_ref, w_ref, o_ref, d_ref,
+    def kernel(counts_ref, clist_ref, aabb_ref, w_ref, o_ref, d_ref,
                tmax_ref, act_ref, t_out, prim_out, u_out, v_out):
         i = pl.program_id(0)
         cnt = counts_ref[i]
@@ -270,60 +269,96 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
         act = act_ref[0] != 0
         t_min = jnp.float32(0.0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, TILE), 0)
+        ox, oy, oz = x[12], x[13], x[14]     # recentered origins
+        dx, dy, dz = x[9], x[10], x[11]
+
+        def inv(c):
+            return 1.0 / jnp.where(jnp.abs(c) < 1e-12,
+                                   jnp.where(c < 0, -1e-12, 1e-12), c)
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
         t_out[0] = tmax_ref[0]
         prim_out[0] = jnp.full((TILE,), -1, jnp.int32)
         u_out[0] = jnp.zeros((TILE,), jnp.float32)
         v_out[0] = jnp.zeros((TILE,), jnp.float32)
 
+        def cluster_gate(c, live, best):
+            """Per-lane slab test vs the cluster AABB (recentered SMEM
+            scalars) -> which live lanes can still improve in it."""
+            t0x = (aabb_ref[c, 0] - ox) * ix
+            t1x = (aabb_ref[c, 3] - ox) * ix
+            t0y = (aabb_ref[c, 1] - oy) * iy
+            t1y = (aabb_ref[c, 4] - oy) * iy
+            t0z = (aabb_ref[c, 2] - oz) * iz
+            t1z = (aabb_ref[c, 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), best))
+            return live & (tn <= tf)
+
         if any_hit:
             # NOTE: no vector while-carry here — Mosaic fails to
-            # legalize (TILE,) i1 carries and MIScompiles i32 vector
-            # carries (silent wrong results, r3 chip test). Found-state
-            # lives in the output ref like the closest path; the
-            # near-to-far worklist already bounds the loop, so the lost
-            # early-exit costs little.
+            # legalize (TILE,) i1 carries and the worklist bounds the
+            # loop; the early-exit is the pl.when gate (skips the matmul
+            # + epilogue once every lane found an occluder or the
+            # cluster is beyond every live lane's range).
             def body(j, _):
                 c = clist_ref[i, j]
-                live = act & (prim_out[0] < 0)
-                wc = w_ref[pl.ds(c * RC, RC), :]
-                out = jax.lax.dot_general(
-                    wc, x, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                ok, t, _, _ = _pair_test(out, has_omm, t_min,
-                                         tmax_ref[0], live)
-                # f32 min-reduction instead of jnp.any over i1 sublanes
-                # (Mosaic silently miscompiled the boolean reduce on v5e)
-                tt = jnp.where(ok, t, jnp.inf)
-                found = jnp.min(tt, axis=0) < jnp.inf
-                prim_out[0] = jnp.where(found, 0, prim_out[0])
+                live = cluster_gate(c, act & (prim_out[0] < 0),
+                                    tmax_ref[0])
+
+                @pl.when(jnp.any(live))
+                def _():
+                    wc = w_ref[pl.ds(c * RC, RC), :]
+                    out = jax.lax.dot_general(
+                        wc, x, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    ok, t, _, _ = _pair_test(out, has_omm, t_min,
+                                             tmax_ref[0], live)
+                    # f32 min-reduction instead of jnp.any over i1
+                    # sublanes (Mosaic miscompiled the boolean reduce)
+                    tt = jnp.where(ok, t, jnp.inf)
+                    found = jnp.min(tt, axis=0) < jnp.inf
+                    prim_out[0] = jnp.where(found, 0, prim_out[0])
+
                 return 0
 
             jax.lax.fori_loop(0, cnt, body, 0)
         else:
             def body(j, _):
                 c = clist_ref[i, j]
-                wc = w_ref[pl.ds(c * RC, RC), :]
-                out = jax.lax.dot_general(
-                    wc, x, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                best = t_out[0]
-                ok, t, u, v = _pair_test(out, has_omm, t_min, best, act)
-                tt = jnp.where(ok, t, jnp.inf)
-                tmin_l = jnp.min(tt, axis=0)                 # (TILE,)
-                imp = tmin_l < best
-                winrow = jnp.min(jnp.where(tt <= tmin_l[None, :], rows,
-                                           CLUSTER), axis=0)
-                sel = (rows == winrow[None, :]) & ok
-                u_w = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-                v_w = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-                t_out[0] = jnp.where(imp, tmin_l, best)
-                prim_out[0] = jnp.where(imp, c * CLUSTER + winrow,
-                                        prim_out[0])
-                u_out[0] = jnp.where(imp, u_w, u_out[0])
-                v_out[0] = jnp.where(imp, v_w, v_out[0])
+                best0 = t_out[0]
+                live = cluster_gate(c, act, best0)
+
+                @pl.when(jnp.any(live))
+                def _():
+                    wc = w_ref[pl.ds(c * RC, RC), :]
+                    out = jax.lax.dot_general(
+                        wc, x, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    best = t_out[0]
+                    ok, t, u, v = _pair_test(out, has_omm, t_min, best,
+                                             act)
+                    tt = jnp.where(ok, t, jnp.inf)
+                    tmin_l = jnp.min(tt, axis=0)             # (TILE,)
+                    imp = tmin_l < best
+                    winrow = jnp.min(jnp.where(tt <= tmin_l[None, :],
+                                               rows, CLUSTER), axis=0)
+                    sel = (rows == winrow[None, :]) & ok
+                    u_w = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+                    v_w = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+                    t_out[0] = jnp.where(imp, tmin_l, best)
+                    prim_out[0] = jnp.where(imp, c * CLUSTER + winrow,
+                                            prim_out[0])
+                    u_out[0] = jnp.where(imp, u_w, u_out[0])
+                    v_out[0] = jnp.where(imp, v_w, v_out[0])
+
                 return 0
 
             jax.lax.fori_loop(0, cnt, body, 0)
@@ -348,10 +383,15 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
 
     RC = (5 if has_omm else 4) * CLUSTER
     kernel = _make_kernel(nc, has_omm, any_hit)
+    # cluster AABBs as SMEM scalars, recentered like the ray origins so
+    # the in-kernel slab gate works in the same frame
+    aabb_c = aabb - jnp.concatenate([center, center])[None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_pad // TILE,),
         in_specs=[
+            pl.BlockSpec((nc, 6), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((nc * RC, 16), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE), lambda i, *_: (0, i),
@@ -381,7 +421,7 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
         grid_spec=grid_spec,
         interpret=interpret,
     )(counts, order,
-      weights,
+      aabb_c, weights,
       (o - center[None, :]).T, d.T, tm[None, :],
       ac.astype(jnp.int32)[None, :])
     uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)

@@ -279,6 +279,10 @@ def trace_closest(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
         from . import mt_dense
         return mt_dense.trace_closest(dense, origins, dirs, t_min, t_max,
                                       active, interpret=_dense_interpret())
+    if hasattr(bvh, "inst_aabb"):  # instanced TLAS-over-BLAS
+        from . import instanced
+        return instanced.trace_closest(bvh, origins, dirs, t_min, t_max,
+                                       active)
     if hasattr(bvh, "sub_aabb"):  # two-level (Bistro-scale)
         from . import bvh2l
         return bvh2l.trace_closest(bvh, origins, dirs, t_min, t_max,
@@ -315,6 +319,10 @@ def trace_anyhit(bvh: BVH2, soup: TriSoup, origins, dirs, t_min=0.0,
         from . import mt_dense
         return mt_dense.trace_anyhit(dense, origins, dirs, t_min, t_max,
                                      active, interpret=_dense_interpret())
+    if hasattr(bvh, "inst_aabb"):  # instanced TLAS-over-BLAS
+        from . import instanced
+        return instanced.trace_anyhit(bvh, origins, dirs, t_min, t_max,
+                                      active)
     if hasattr(bvh, "sub_aabb"):  # two-level (Bistro-scale)
         from . import bvh2l
         return bvh2l.trace_anyhit(bvh, origins, dirs, t_min, t_max,

@@ -68,10 +68,17 @@ def _catmull_rom_gather(img, x, y):
 
 def resolve(state: Optional[TAAState], color, motion,
             blend: float = 0.1, clip_sigma: float = 1.0,
-            use_catmull_rom: bool = True) -> tuple:
+            use_catmull_rom: bool = True, relax_mask=None) -> tuple:
     """color: (H,W,3) current frame; motion: (H,W,2) px (prev - cur).
     Returns (resolved, new_state). jit-safe: state.valid is a traced
-    flag, so the first-frame passthrough is a select."""
+    flag, so the first-frame passthrough is a select.
+
+    relax_mask: optional (H,W) in [0,1] — the denoiser's disocclusion /
+    history-reset signal (donut TemporalAntiAliasingPass.cpp:228 fed by
+    RTXPT/Sample.cpp:1469-1482): where the denoiser just reset history,
+    TAA's own history is equally stale, so the blend snaps toward the
+    freshly denoised current frame instead of re-blurring it with
+    ghosted history."""
     h, w = color.shape[0], color.shape[1]
     if state is None:
         return color, TAAState(history=color, valid=jnp.asarray(True))
@@ -106,6 +113,10 @@ def resolve(state: Optional[TAAState], color, motion,
     hi = jnp.minimum(m1 + clip_sigma * sigma, cmax)
     hist = jnp.clip(hist, lo, hi)
 
-    out = jnp.where(in_bounds, mu.lerp(hist, color, blend), color)
+    blend_eff = jnp.full(color.shape[:2], blend, jnp.float32)
+    if relax_mask is not None:
+        blend_eff = jnp.maximum(blend_eff, jnp.clip(relax_mask, 0.0, 1.0))
+    out = jnp.where(in_bounds,
+                    mu.lerp(hist, color, blend_eff[..., None]), color)
     out = jnp.where(state.valid, out, color)
     return out, TAAState(history=out, valid=jnp.asarray(True))

@@ -142,11 +142,11 @@ def _sample_distant(assets: RenderAssets, cfg: PTConfig, g):
         d, pdf, le = EM.sample_uniform(assets.env, u2)
     elif cfg.nee_distant_type == NEE_DISTANT_MIP_DESCENT:
         g, u2 = rng.next_2d(g, allow_ld=False)
-        d, pdf, le = EM.sample_mip_descent(assets.env, u2)
+        d, pdf, le = EM.sample_importance(assets.env, u2)
     else:  # presampled
         g, u1 = rng.next_1d(g, allow_ld=False)
         if assets.env_presampled is None:
-            d, pdf, le = EM.sample_mip_descent(
+            d, pdf, le = EM.sample_importance(
                 assets.env, jnp.stack([u1, u1], -1))
         else:
             d, pdf, le = EM.sample_presampled(assets.env,
@@ -491,10 +491,10 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             all_d = jnp.concatenate(nee_dirs, axis=0)
             all_t = jnp.concatenate(nee_dists, axis=0) * (1.0 - 1e-4)
             all_act = jnp.concatenate(nee_pdf, axis=0)
-            occluded = traverse.trace_anyhit(
-                assets.bvh, assets.soup, all_o, all_d, t_min=0.0,
-                t_max=all_t, active=all_act, leaf_size=cfg.leaf_size,
-                dense=assets.dense)
+            from . import visibility as VIS
+            occluded = VIS.trace_visibility(
+                assets, all_o, all_d, t_min=0.0, t_max=all_t,
+                active=all_act, exact=cfg.exact_alpha_test)
             visible = (~occluded).reshape(k_total, n)
             contrib_d = sum(
                 jnp.where(visible[i][..., None], nee_diff[i], 0.0)

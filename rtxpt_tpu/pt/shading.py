@@ -187,13 +187,24 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     # createTextureSampler, BridgeDonut:337-352,411)
     if scene.textures is not None:
         from ..scene import textures as TX
-        # KHR_texture_transform (per-material offset+scale subset)
-        uv_off = mrow[..., ST.MP_UV_OFFSET:ST.MP_UV_OFFSET + 2]
-        uv_scl = mrow[..., ST.MP_UV_SCALE:ST.MP_UV_SCALE + 2]
-        uv = uv * uv_scl + uv_off
-        uv0 = vp[:, 0, 10:12] * uv_scl + uv_off
-        uv1 = vp[:, 1, 10:12] * uv_scl + uv_off
-        uv2 = vp[:, 2, 10:12] * uv_scl + uv_off
+        # KHR_texture_transform: per-SLOT affine (offset + rotation +
+        # scale), matching donut's per-texture transform support
+        def slot_uv(uv_in, s):
+            a = mrow[..., ST.MP_UV_AFFINE + 6 * s:
+                     ST.MP_UV_AFFINE + 6 * s + 6]
+            return jnp.stack(
+                [a[..., 0] * uv_in[..., 0] + a[..., 1] * uv_in[..., 1]
+                 + a[..., 4],
+                 a[..., 2] * uv_in[..., 0] + a[..., 3] * uv_in[..., 1]
+                 + a[..., 5]], axis=-1)
+
+        uv_base = slot_uv(uv, ST.UV_SLOT_BASE)
+        uv_nm = slot_uv(uv, ST.UV_SLOT_NORMAL)
+        uv_mr = slot_uv(uv, ST.UV_SLOT_MR)
+        uv_em = slot_uv(uv, ST.UV_SLOT_EMISSIVE)
+        uv0 = slot_uv(vp[:, 0, 10:12], ST.UV_SLOT_BASE)
+        uv1 = slot_uv(vp[:, 1, 10:12], ST.UV_SLOT_BASE)
+        uv2 = slot_uv(vp[:, 2, 10:12], ST.UV_SLOT_BASE)
         e1uv = uv1 - uv0
         e2uv = uv2 - uv0
         uv_area = 0.5 * jnp.abs(e1uv[..., 0] * e2uv[..., 1]
@@ -208,18 +219,18 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
         base_tex = mrow[..., ST.MP_BASE_TEX].astype(jnp.int32)
         mr_tex = mrow[..., ST.MP_MR_TEX].astype(jnp.int32)
         em_tex = mrow[..., ST.MP_EMISSIVE_TEX].astype(jnp.int32)
-        base_tap = TX.sample_stack(scene.textures, base_tex, uv, lod)
+        base_tap = TX.sample_stack(scene.textures, base_tex, uv_base, lod)
         base_color = base_color * base_tap[..., :3]
         opacity = base_tap[..., 3]
-        mr = TX.sample_stack(scene.textures, mr_tex, uv, lod)
+        mr = TX.sample_stack(scene.textures, mr_tex, uv_mr, lod)
         has_mr = mr_tex >= 0
         roughness = jnp.where(has_mr, roughness * mr[..., 1], roughness)
         metalness = jnp.where(has_mr, metalness * mr[..., 2], metalness)
-        em_tap = TX.sample_stack(scene.textures, em_tex, uv, lod)
+        em_tap = TX.sample_stack(scene.textures, em_tex, uv_em, lod)
         emissive = emissive * em_tap[..., :3]
         nm = mrow[..., ST.MP_NORMAL_TEX].astype(jnp.int32)
         has_nm = nm >= 0
-        nm_tap = TX.sample_stack(scene.textures, nm, uv, lod)
+        nm_tap = TX.sample_stack(scene.textures, nm, uv_nm, lod)
         n_mapped = TX.perturb_normal(n, t, b, nm_tap)
         n = jnp.where(has_nm[..., None], n_mapped, n)
         n, t, b = _adjust_shading_normal(n, v, oriented_ng, tan)

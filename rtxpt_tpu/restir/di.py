@@ -115,8 +115,7 @@ def presample_lights(assets, sample_index, tiles: int = 32,
     is_env = (eid % jnp.uint32(stride)) == 0
 
     if lt is not None:
-        li_idx = jnp.clip(jnp.searchsorted(lt.cdf, u3[..., 0]), 0,
-                          lt.count - 1).astype(jnp.int32)
+        li_idx = LI.pick_light(lt, u3[..., 0])
         pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
         tri = assets.scene.indices[jnp.maximum(lt.tri[li_idx], 0)]
         p0 = assets.scene.positions[tri[..., 0]]
@@ -141,7 +140,7 @@ def presample_lights(assets, sample_index, tiles: int = 32,
         l_inv = jnp.zeros((count,))
         is_env = jnp.ones((count,), bool)
 
-    d, e_pdf, _ = EM.sample_mip_descent(assets.env, u_env)
+    d, e_pdf, _ = EM.sample_importance(assets.env, u_env)
     e_uv = mu.encode_oct(d)
     e_inv = jnp.where(e_pdf > 0.0, 1.0 / jnp.maximum(e_pdf, 1e-20), 0.0)
 
@@ -196,8 +195,7 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
     for _ in range(num_local if lt is not None else 0):
         g, u3 = rng.next_3d(g)
         g, u_sel = rng.next_1d(g)
-        li_idx = jnp.clip(jnp.searchsorted(lt.cdf, u3[..., 0]), 0,
-                          lt.count - 1).astype(jnp.int32)
+        li_idx = LI.pick_light(lt, u3[..., 0])
         pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
         uv = u3[..., 1:3]
         # area-measure source pdf (uniform over the picked light's area;
@@ -224,7 +222,7 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
     for _ in range(num_env):
         g, u2 = rng.next_2d(g)
         g, u_sel = rng.next_1d(g)
-        d, pdf, le = EM.sample_mip_descent(assets.env, u2)
+        d, pdf, le = EM.sample_importance(assets.env, u2)
         uv = mu.encode_oct(d)
         light = jnp.full((n,), LIGHT_ENV, jnp.int32)
         p_hat, _, _, _, _ = eval_target(assets, gb, light, uv)
@@ -458,25 +456,27 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
                      target=out_target)
 
 
-def final_shade(assets, gb: GBuffer, r: Reservoir
+def final_shade(assets, gb: GBuffer, r: Reservoir, exact_alpha=False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DIFinalShading.hlsl: visibility ray + weighted contribution.
     Returns (diffuse, specular) DI radiance."""
+    from ..pt import visibility as VIS
     p_hat, cd, cs, direction, distance = eval_target(assets, gb, r.light,
                                                      r.uv)
     w = r.contribution_weight()
     need = gb.valid & (w > 0.0) & (p_hat > 0.0)
     origin = gb.surface.sd.compute_new_ray_origin(
         jnp.ones(gb.valid.shape[0], bool))
-    occluded = traverse.trace_anyhit(
-        assets.bvh, assets.soup, origin, direction,
-        t_max=distance * (1.0 - 1e-4), active=need, dense=assets.dense)
+    occluded = VIS.trace_visibility(
+        assets, origin, direction,
+        t_max=distance * (1.0 - 1e-4), active=need, exact=exact_alpha)
     vis = need & ~occluded
     scale = jnp.where(vis, w, 0.0)[..., None]
     return cd * scale, cs * scale
 
 
-def fused_final_shade(assets, gb: GBuffer, r_di: Reservoir, r_gi
+def fused_final_shade(assets, gb: GBuffer, r_di: Reservoir, r_gi,
+                      exact_alpha=False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                  jnp.ndarray, jnp.ndarray]:
     """Fused DI+GI final shading (RtxdiPass::ExecuteFusedDIGIFinal,
@@ -502,9 +502,10 @@ def fused_final_shade(assets, gb: GBuffer, r_di: Reservoir, r_gi
     all_t = jnp.concatenate([dist_d * (1.0 - 1e-4),
                              jnp.maximum(dist_g - 1e-3, 1e-4)], 0)
     all_need = jnp.concatenate([need_d, need_g], 0)
-    occluded = traverse.trace_anyhit(
-        assets.bvh, assets.soup, all_o, all_d, t_max=all_t,
-        active=all_need, dense=assets.dense)
+    from ..pt import visibility as VIS
+    occluded = VIS.trace_visibility(
+        assets, all_o, all_d, t_max=all_t, active=all_need,
+        exact=exact_alpha)
     vis_d = need_d & ~occluded[:n]
     vis_g = need_g & ~occluded[n:]
     s_d = jnp.where(vis_d, w_d, 0.0)[..., None]

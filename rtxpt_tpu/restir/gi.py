@@ -203,19 +203,20 @@ def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
     return r
 
 
-def final_shade(assets, gb: GBuffer, r: GIReservoir
+def final_shade(assets, gb: GBuffer, r: GIReservoir, exact_alpha=False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GIFinalShading.hlsl: reconnection visibility + weighted shade."""
+    from ..pt import visibility as VIS
     p_hat, cd, cs, direction, dist = eval_target(gb, r.pos, r.normal,
                                                  r.radiance, r.valid)
     w = r.contribution_weight()
     need = gb.valid & (w > 0.0) & (p_hat > 0.0)
     origin = gb.surface.sd.compute_new_ray_origin(
         jnp.ones(gb.valid.shape[0], bool))
-    occluded = traverse.trace_anyhit(
-        assets.bvh, assets.soup, origin, direction,
+    occluded = VIS.trace_visibility(
+        assets, origin, direction,
         t_max=jnp.maximum(dist - 1e-3, 1e-4), active=need,
-        dense=assets.dense)
+        exact=exact_alpha)
     vis = need & ~occluded
     scale = jnp.where(vis, w, 0.0)[..., None]
     return cd * scale, cs * scale

@@ -78,8 +78,7 @@ def build_regir(lt: LI.LightTable, scene_positions, scene_indices,
     for _ in range(candidates):
         g, u3 = rng.next_3d(g)
         g, usel = rng.next_1d(g)
-        li_idx = jnp.clip(jnp.searchsorted(lt.cdf, u3[..., 0]), 0,
-                          lt.count - 1).astype(jnp.int32)
+        li_idx = LI.pick_light(lt, u3[..., 0])
         pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
         uv = u3[..., 1:3]
         # target: unshadowed incident radiance at the cell point, with the

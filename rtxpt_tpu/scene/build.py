@@ -183,7 +183,29 @@ class SceneBuilder:
             idx_l = [np.asarray([[0, 1, 2]], np.int32)]
             mat_l = [np.zeros((1,), np.int32)]
             inst_l = [np.zeros((1,), np.int32)]
+        # instancing metadata: the un-flattened structure the instanced
+        # TLAS/BLAS path needs (ops/instanced.py) — per-instance mesh id
+        # + transform + flat-triangle offset, and the object-space
+        # geometry of each unique mesh (RTXPT/Sample.cpp:1353-1421's
+        # TLAS-over-BLAS shape)
+        tri_offsets = []
+        off = 0
+        for inst in self.instances:
+            tri_offsets.append(off)
+            off += self.meshes[inst.mesh].indices.shape[0]
+        instancing = dict(
+            mesh_of_instance=np.asarray(
+                [i.mesh for i in self.instances], np.int32),
+            transforms=(np.stack([i.transform for i in self.instances])
+                        .astype(np.float32) if self.instances
+                        else np.zeros((0, 3, 4), np.float32)),
+            tri_offset=np.asarray(tri_offsets, np.int32),
+            meshes=[dict(positions=np.asarray(m.positions, np.float32),
+                         indices=np.asarray(m.indices, np.int32))
+                    for m in self.meshes],
+        ) if self.instances else None
         return dict(
+            instancing=instancing,
             positions=np.concatenate(pos_l) if pos_l
             else np.zeros((0, 3), np.float32),
             normals=np.concatenate(nrm_l) if nrm_l

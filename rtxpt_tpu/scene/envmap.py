@@ -41,6 +41,10 @@ class EnvMap(NamedTuple):
     quads: tuple = ()          # per level l>=1: (h_{l-1}*w_{l-1}, 4)
     radiance_quad: jnp.ndarray = None   # (H*W, 12) [self,right,down,diag]
     #   RGB quad rows: bilinear eval = ONE row gather + lerp
+    alias_pack: jnp.ndarray = None      # (H*W, 10) Vose alias rows:
+    #   [prob, alias, pdf_self, pdf_alias, le_self(3), le_alias(3)] —
+    #   O(1) env draws (ONE row gather) with the EXACT texel pmf the
+    #   mip-descent sampler uses, so pdf_mip_descent stays valid
 
     @property
     def height(self) -> int:
@@ -225,6 +229,45 @@ def sample_mip_descent(env: EnvMap, u2):
     return d, pdf, le
 
 
+def sample_alias(env: EnvMap, u2):
+    """O(1) env draw via the Vose alias rows: same texel pmf (and the
+    same pdf values) as sample_mip_descent, ONE row gather per draw
+    instead of one per pyramid level. The residuals of the bin pick and
+    the alias coin re-jitter the sample inside the chosen texel."""
+    h, w = env.height, env.width
+    nt = env.alias_pack.shape[0]
+    x = u2[..., 0] * nt
+    bin_ = jnp.minimum(x.astype(jnp.int32), nt - 1)
+    jx = x - bin_.astype(jnp.float32)
+    row = env.alias_pack[bin_]                      # (N,10)
+    prob = row[..., 0]
+    v = u2[..., 1]
+    keep = v < prob
+    jy = jnp.where(keep, v / jnp.maximum(prob, 1e-9),
+                   (v - prob) / jnp.maximum(1.0 - prob, 1e-9))
+    texel = jnp.where(keep, bin_, row[..., 1].astype(jnp.int32))
+    pdf = jnp.where(keep, row[..., 2], row[..., 3])
+    le = jnp.where(keep[..., None], row[..., 4:7], row[..., 7:10]) \
+        * env.intensity
+    ix = texel % w
+    iy = texel // w
+    uv = jnp.stack([(ix.astype(jnp.float32)
+                     + jnp.clip(jx, 0.0, 0.9999)) / w,
+                    (iy.astype(jnp.float32)
+                     + jnp.clip(jy, 0.0, 0.9999)) / h], axis=-1)
+    d = uv_to_dir(uv)
+    le = jnp.where(env.enabled, le, 0.0)
+    return d, pdf, le
+
+
+def sample_importance(env: EnvMap, u2):
+    """Preferred env importance draw: alias rows when present (O(1)),
+    else the hierarchical descent. Identical distribution either way."""
+    if env.alias_pack is not None:
+        return sample_alias(env, u2)
+    return sample_mip_descent(env, u2)
+
+
 def pdf_mip_descent(env: EnvMap, d):
     """EnvMapSampler::MIPDescentEvalPdf (Distant.hlsli:180-210)."""
     uv = dir_to_uv(d)
@@ -252,7 +295,7 @@ def presample(env: EnvMap, sample_index, count: int = 2048) -> PresampledEnv:
     g = rng.make(idx, jnp.uint32(0x9) + idx * 0, jnp.uint32(0),
                  jnp.asarray(sample_index, jnp.uint32))
     g, u2 = rng.next_2d(g)
-    d, pdf, le = sample_mip_descent(env, u2)
+    d, pdf, le = sample_importance(env, u2)
     return PresampledEnv(d, le, pdf)
 
 
@@ -379,6 +422,36 @@ def _load_radiance_hdr(path: str) -> np.ndarray:
     return mant * scale[..., None]
 
 
+def _build_alias_pack(pmf: np.ndarray, pdf_flat: np.ndarray,
+                      rad_flat: np.ndarray) -> np.ndarray:
+    """Vose's alias method over the texel pmf; rows carry everything a
+    draw needs so sampling is one gather."""
+    nt = pmf.shape[0]
+    p = pmf / max(pmf.sum(), 1e-20) * nt
+    alias = np.arange(nt, dtype=np.int64)
+    prob = np.ones(nt, np.float64)
+    small = [i for i in range(nt) if p[i] < 1.0]
+    large = [i for i in range(nt) if p[i] >= 1.0]
+    p = p.astype(np.float64).copy()
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = p[l] - (1.0 - p[s])
+        (small if p[l] < 1.0 else large).append(l)
+    for i in large + small:
+        prob[i] = 1.0
+    pack = np.zeros((nt, 10), np.float32)
+    pack[:, 0] = prob
+    pack[:, 1] = alias
+    pack[:, 2] = pdf_flat
+    pack[:, 3] = pdf_flat[alias]
+    pack[:, 4:7] = rad_flat
+    pack[:, 7:10] = rad_flat[alias]
+    return pack
+
+
 def _make_envmap_np(radiance: np.ndarray, intensity: float,
                     enabled: bool) -> EnvMap:
     """Host numpy build of the env tables (cold path: the jnp version's
@@ -423,4 +496,7 @@ def _make_envmap_np(radiance: np.ndarray, intensity: float,
                   pdf_flat=jnp.asarray(pdf_flat),
                   quads=tuple(quads),
                   radiance_quad=jnp.asarray(
-                      radiance_quad.astype(np.float32)))
+                      radiance_quad.astype(np.float32)),
+                  alias_pack=jnp.asarray(_build_alias_pack(
+                      mips[-1].reshape(-1).astype(np.float64),
+                      pdf_flat, radiance.reshape(-1, 3))))

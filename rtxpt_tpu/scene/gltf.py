@@ -200,11 +200,26 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
         def tex_index(texinfo):
             return texinfo.get("index", -1) if texinfo else -1
 
-        # KHR_texture_transform (offset+scale subset) from baseColor
-        tt = (pbr.get("baseColorTexture") or {}).get(
-            "extensions", {}).get("KHR_texture_transform", {})
-        uv_offset = np.asarray(tt.get("offset", [0.0, 0.0]), np.float32)
-        uv_scale = np.asarray(tt.get("scale", [1.0, 1.0]), np.float32)
+        # KHR_texture_transform: full offset + ROTATION + scale, read
+        # PER SLOT (base/normal/mr/emissive), composed per the KHR spec
+        # (T = Translation * Rotation * Scale; uv' = T [u v 1]^T)
+        def slot_affine(texinfo):
+            tt = (texinfo or {}).get("extensions", {}).get(
+                "KHR_texture_transform", {})
+            ox, oy = tt.get("offset", [0.0, 0.0])
+            sx, sy = tt.get("scale", [1.0, 1.0])
+            r = float(tt.get("rotation", 0.0))
+            c, s = np.cos(r), np.sin(r)
+            # A = R @ S; t = offset
+            return np.asarray([c * sx, s * sy, -s * sx, c * sy, ox, oy],
+                              np.float32)
+
+        uv_affine = np.concatenate([
+            slot_affine(pbr.get("baseColorTexture")),
+            slot_affine(m.get("normalTexture")),
+            slot_affine(pbr.get("metallicRoughnessTexture")),
+            slot_affine(m.get("emissiveTexture")),
+        ])
         spec_ext = exts.get("KHR_materials_specular", {})
         specular_factor = float(spec_ext.get("specularFactor", 1.0))
 
@@ -227,8 +242,7 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
                 exts.get("KHR_materials_transmission", {}).get(
                     "transmissionTexture")),
             double_sided=bool(m.get("doubleSided", False)),
-            uv_offset=uv_offset,
-            uv_scale=uv_scale,
+            uv_affine=uv_affine,
             specular_factor=specular_factor,
         ))
     if not mat_ids:
@@ -371,20 +385,29 @@ def decode_textures(gf: GltfFile):
             continue
         img = gf.json["images"][src]
         try:
+            from . import dds as DDS
+            raw = None
+            path = None
             if "bufferView" in img:
                 bv = gf.json["bufferViews"][img["bufferView"]]
                 data = gf.buffer(bv["buffer"])
                 start = bv.get("byteOffset", 0)
                 raw = data[start:start + bv["byteLength"]]
-                im = Image.open(io.BytesIO(raw))
             else:
                 uri = img.get("uri", "")
                 if uri.startswith("data:"):
                     raw = base64.b64decode(uri.split(",", 1)[1])
-                    im = Image.open(io.BytesIO(raw))
                 else:
                     from urllib.parse import unquote
-                    im = Image.open(os.path.join(gf.dir, unquote(uri)))
+                    path = os.path.join(gf.dir, unquote(uri))
+                    if path.lower().endswith(".dds"):
+                        with open(path, "rb") as f:
+                            raw = f.read()
+            if raw is not None and DDS.is_dds(raw):
+                out.append(DDS.decode_dds(raw))   # donut DDSFile path
+                continue
+            im = Image.open(io.BytesIO(raw)) if raw is not None \
+                else Image.open(path)
             out.append(np.asarray(im.convert("RGBA")))
         except Exception:
             out.append(np.ones((4, 4, 4), np.float32))

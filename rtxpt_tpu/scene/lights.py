@@ -40,14 +40,68 @@ class LightTable(NamedTuple):
     power: jnp.ndarray       # (L,) scalar power used for selection
     cdf: jnp.ndarray         # (L,) inclusive normalized CDF over power
     total_power: jnp.ndarray  # ()
+    # packed per-light row [kind, p0(3), e1(3), e2(3), pos(3), radius,
+    # rad(3), inv_area] — ONE fetch per sampled light instead of ~8
+    # narrow gathers (XLA TPU gathers cost ~1.4 ms each at wavefront
+    # width regardless of row width). Triangle verts are BAKED; call
+    # refresh_pack after skinning moves emissive geometry.
+    pack: jnp.ndarray = None  # (L, LP_COLS) f32
+    pack_gp: object = None    # gather_pallas.GatherPlanes of pack (TPU);
+    #   dropped (None) after a device-side refresh_pack
 
     @property
     def count(self) -> int:
         return self.kind.shape[0]
 
 
+LP_KIND = 0
+LP_P0 = 1           # 1:4
+LP_E1 = 4           # 4:7
+LP_E2 = 7           # 7:10
+LP_POS = 10         # 10:13
+LP_RADIUS = 13
+LP_RAD = 14         # 14:17
+LP_INV_AREA = 17
+LP_POWER = 18
+LP_COLS = 19
+
+
+def _build_pack(xp, kind, tri, position, radius, radiance, positions,
+                indices, power=None):
+    """Assemble the packed light rows (numpy at build, jnp on refresh)."""
+    t = xp.clip(tri, 0, indices.shape[0] - 1)
+    tri_idx = indices[t]
+    p0 = positions[tri_idx[:, 0]]
+    e1 = positions[tri_idx[:, 1]] - p0
+    e2 = positions[tri_idx[:, 2]] - p0
+    area = 0.5 * xp.linalg.norm(xp.cross(e1, e2), axis=-1)
+    inv_area = xp.where(
+        kind == LIGHT_TRIANGLE,
+        1.0 / xp.maximum(area, 1e-9),
+        xp.where(kind == LIGHT_SPHERE,
+                 1.0 / xp.maximum(4.0 * np.pi * radius * radius, 1e-9),
+                 1.0))
+    if power is None:
+        power = xp.zeros_like(radius)
+    return xp.concatenate([
+        kind[:, None].astype(xp.float32), p0, e1, e2, position,
+        radius[:, None], radiance, inv_area[:, None], power[:, None]],
+        axis=-1).astype(xp.float32)
+
+
+def refresh_pack(lt: LightTable, positions, indices) -> LightTable:
+    """Re-bake packed triangle verts from (possibly skinned) device
+    positions — the light-side piece of Scene::Refresh."""
+    if lt is None or lt.pack is None:
+        return lt
+    return lt._replace(pack=_build_pack(
+        jnp, lt.kind, lt.tri, lt.position, lt.radius, lt.radiance,
+        positions, indices, power=lt.power), pack_gp=None)
+
+
 def build_light_table(host_scene: dict, analytic: Optional[list] = None
                       ) -> Optional[LightTable]:
+    from ..ops import gather_pallas as _gp
     """Host-side (numpy) light table build (PrepareLightsPass::Process).
     analytic: list of dicts {kind, position/direction, radiance, radius}."""
     pos = host_scene["positions"]
@@ -103,16 +157,50 @@ def build_light_table(host_scene: dict, analytic: Optional[list] = None
     cdf = np.cumsum(power)
     total = float(cdf[-1])
     cdf = (cdf / max(total, 1e-20)).astype(np.float32)
+    kind_np = np.asarray(kinds, np.int32)
+    tri_np = np.asarray(tris, np.int32)
+    pos_np = np.stack(positions).astype(np.float32)
+    rad_np = np.asarray(radii, np.float32)
+    rdn_np = np.stack(radiances).astype(np.float32)
+    pack = _build_pack(np, kind_np, tri_np, pos_np, rad_np, rdn_np,
+                       np.asarray(pos, np.float32),
+                       np.asarray(idx, np.int64), power=power)
     return LightTable(
-        kind=jnp.asarray(np.asarray(kinds, np.int32)),
-        tri=jnp.asarray(np.asarray(tris, np.int32)),
-        position=jnp.asarray(np.stack(positions).astype(np.float32)),
-        radius=jnp.asarray(np.asarray(radii, np.float32)),
-        radiance=jnp.asarray(np.stack(radiances).astype(np.float32)),
+        kind=jnp.asarray(kind_np),
+        tri=jnp.asarray(tri_np),
+        position=jnp.asarray(pos_np),
+        radius=jnp.asarray(rad_np),
+        radiance=jnp.asarray(rdn_np),
         power=jnp.asarray(power),
         cdf=jnp.asarray(cdf),
         total_power=jnp.asarray(total, jnp.float32),
+        pack=jnp.asarray(pack),
+        pack_gp=(_gp.pack_f32(pack)
+                 if _gp.supported(pack.shape[0]) else None),
     )
+
+
+def pick_light(lt: LightTable, u):
+    """Power-CDF selection. For small tables the searchsorted (a
+    log-L chain of slow TPU gathers) becomes one fused broadcast
+    compare + row-sum (reduction-fused by XLA, no materialization)."""
+    L = lt.count
+    if L <= 1024:
+        idx = jnp.sum((lt.cdf[None, :] < u[..., None]).astype(jnp.int32),
+                      axis=-1)
+    else:
+        idx = jnp.searchsorted(lt.cdf, u, side="left")
+    return jnp.clip(idx, 0, L - 1).astype(jnp.int32)
+
+
+def fetch_rows(lt: LightTable, idx):
+    """(N, LP_COLS) packed light rows: MXU one-hot gather on TPU
+    (ops/gather_pallas), one wide XLA row gather elsewhere."""
+    from ..ops import gather_pallas as GPL
+    from ..ops.traverse import _use_pallas
+    if lt.pack_gp is not None and _use_pallas():
+        return GPL.gather_rows(lt.pack_gp, idx)
+    return lt.pack[idx]
 
 
 class LightSample(NamedTuple):
@@ -149,24 +237,34 @@ def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
     of an area-measure sample — and `inv_area` is 1/area so that
     src_pdf = pick_pdf * inv_area lives in the matching area measure; for
     delta lights (point: intensity/dist^2, directional: radiance)
-    inv_area = 1. Returns (direction, distance, li, inv_area, valid)."""
-    kind = lt.kind[li_idx]
-    rad = lt.radiance[li_idx]
+    inv_area = 1. Returns (direction, distance, li, inv_area, valid).
+
+    ONE packed-row fetch per light (LightTable.pack) replaces the ~8
+    narrow gathers of the round-2 version; scene_positions/indices kept
+    for API compatibility (verts are baked into the pack and refreshed
+    by refresh_pack after skinning)."""
+    row = fetch_rows(lt, li_idx)
+    kind = row[..., LP_KIND].astype(jnp.int32)
+    rad = row[..., LP_RAD:LP_RAD + 3]
+    p0 = row[..., LP_P0:LP_P0 + 3]
+    e1 = row[..., LP_E1:LP_E1 + 3]
+    e2 = row[..., LP_E2:LP_E2 + 3]
+    pos_l = row[..., LP_POS:LP_POS + 3]
+    r_s = row[..., LP_RADIUS]
+    inv_area = row[..., LP_INV_AREA]
 
     # --- triangle
-    tri = scene_indices[jnp.maximum(lt.tri[li_idx], 0)]
-    p0 = scene_positions[tri[..., 0]]
-    p1 = scene_positions[tri[..., 1]]
-    p2 = scene_positions[tri[..., 2]]
     bary = mu.sample_triangle_uniform(uv)
-    lp_t = bary[..., 0:1] * p0 + bary[..., 1:2] * p1 + bary[..., 2:3] * p2
-    fn = jnp.cross(p1 - p0, p2 - p0)
-    area2 = jnp.linalg.norm(fn, axis=-1)
-    n_t = mu.safe_normalize(fn)
+    lp_t = p0 + bary[..., 1:2] * e1 + bary[..., 2:3] * e2
+    n_t = mu.safe_normalize(jnp.cross(e1, e2))
 
-    # --- sphere (uniform area sample; fixed surface point)
-    lp_s, n_s = _sphere_point(lt, li_idx, uv)
-    r_s = lt.radius[li_idx]
+    # --- sphere (uniform point on surface; receiver-independent so
+    # (light, uv) pairs are reusable across pixels like RTXDI samples)
+    z = 1.0 - 2.0 * uv[..., 0]
+    s_ = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * uv[..., 1]
+    n_s = jnp.stack([s_ * jnp.cos(phi), s_ * jnp.sin(phi), z], -1)
+    lp_s = pos_l + r_s[..., None] * n_s
 
     is_tri = kind == LIGHT_TRIANGLE
     is_sph = kind == LIGHT_SPHERE
@@ -174,8 +272,7 @@ def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
     is_area = is_tri | is_sph
 
     lp = jnp.where(is_tri[..., None], lp_t,
-                   jnp.where(is_sph[..., None], lp_s,
-                             lt.position[li_idx]))
+                   jnp.where(is_sph[..., None], lp_s, pos_l))
     nrm = jnp.where(is_tri[..., None], n_t, n_s)
 
     to_l = lp - shading_pos
@@ -184,7 +281,7 @@ def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
     dir_l = to_l / dist[..., None]
     cos_l = jnp.sum(nrm * (-dir_l), -1)
 
-    dir_d = -mu.safe_normalize(lt.position[li_idx])
+    dir_d = -mu.safe_normalize(pos_l)
     direction = jnp.where(is_area[..., None] | is_pt[..., None], dir_l,
                           dir_d)
     distance = jnp.where(is_area | is_pt, dist, mu.K_MAX_RAY_TRAVEL)
@@ -193,11 +290,6 @@ def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
     li_point = rad / dist_sq[..., None]
     li = jnp.where(is_area[..., None], li_area,
                    jnp.where(is_pt[..., None], li_point, rad))
-
-    inv_area = jnp.where(
-        is_tri, 1.0 / jnp.maximum(0.5 * area2, 1e-9),
-        jnp.where(is_sph,
-                  1.0 / jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9), 1.0))
     valid = jnp.where(is_area, cos_l > 1e-6, True)
     return direction, distance, li, inv_area, valid
 
@@ -207,59 +299,56 @@ def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
     """Power-weighted light pick + per-light solid-angle sample
     (PolymorphicLight.hlsli calcSample equivalents).
 
-    u3: (N,3) -> [light select, area sample x2]."""
-    n = shading_pos.shape[0]
-    # pick light by power CDF
-    li_idx = jnp.searchsorted(lt.cdf, u3[..., 0], side="left")
-    li_idx = jnp.clip(li_idx, 0, lt.count - 1).astype(jnp.int32)
-    pick_pdf = lt.power[li_idx] / jnp.maximum(lt.total_power, 1e-20)
+    u3: (N,3) -> [light select, area sample x2]. One fused CDF pick
+    (pick_light) + ONE packed-row fetch per lane (round-2 version paid
+    a searchsorted gather chain + ~8 narrow field gathers)."""
+    li_idx = pick_light(lt, u3[..., 0])
+    row = fetch_rows(lt, li_idx)
+    kind = row[..., LP_KIND].astype(jnp.int32)
+    pick_pdf = row[..., LP_POWER] / jnp.maximum(lt.total_power, 1e-20)
+    p0 = row[..., LP_P0:LP_P0 + 3]
+    e1 = row[..., LP_E1:LP_E1 + 3]
+    e2 = row[..., LP_E2:LP_E2 + 3]
+    pos_l = row[..., LP_POS:LP_POS + 3]
+    r_s = row[..., LP_RADIUS]
+    rad = row[..., LP_RAD:LP_RAD + 3]
+    inv_area = row[..., LP_INV_AREA]
 
-    kind = lt.kind[li_idx]
     # --- triangle lights: uniform area sample
-    t = jnp.maximum(lt.tri[li_idx], 0)
-    tri = scene_indices[t]
-    p0 = scene_positions[tri[..., 0]]
-    p1 = scene_positions[tri[..., 1]]
-    p2 = scene_positions[tri[..., 2]]
     bary = mu.sample_triangle_uniform(u3[..., 1:3])
-    lp = bary[..., 0:1] * p0 + bary[..., 1:2] * p1 + bary[..., 2:3] * p2
-    fn = jnp.cross(p1 - p0, p2 - p0)
-    area = 0.5 * jnp.linalg.norm(fn, axis=-1)
-    fn = mu.safe_normalize(fn)
-
+    lp = p0 + bary[..., 1:2] * e1 + bary[..., 2:3] * e2
+    fn = mu.safe_normalize(jnp.cross(e1, e2))
     to_l = lp - shading_pos
     dist_sq = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-12)
     dist = jnp.sqrt(dist_sq)
     dir_ = to_l / dist[..., None]
     cos_l = jnp.sum(fn * (-dir_), axis=-1)   # light faces its +normal side
-    # area pdf -> solid angle pdf
-    pdf_tri = dist_sq / jnp.maximum(cos_l * area, 1e-12)
+    # area pdf -> solid angle pdf (inv_area = 1/area for triangles)
+    pdf_tri = dist_sq * inv_area / jnp.maximum(cos_l, 1e-12)
     tri_visible = cos_l > 1e-6
-    tri_rad = lt.radiance[li_idx]
 
     # --- point lights (radiance = intensity [W/sr])
-    pl = lt.position[li_idx]
-    to_p = pl - shading_pos
+    to_p = pos_l - shading_pos
     dist_p_sq = jnp.maximum(jnp.sum(to_p * to_p, axis=-1), 1e-12)
     dist_p = jnp.sqrt(dist_p_sq)
     dir_p = to_p / dist_p[..., None]
 
-    # --- sphere: uniform area sample over the surface (PolymorphicLight
-    # sphere calcSample; area measure keeps (light, uv) reservoir samples
-    # receiver-independent)
-    lp_s, n_s = _sphere_point(lt, li_idx, u3[..., 1:3])
-    r_s = lt.radius[li_idx]
+    # --- sphere: uniform area sample over the surface
+    z = 1.0 - 2.0 * u3[..., 1]
+    s_ = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * u3[..., 2]
+    n_s = jnp.stack([s_ * jnp.cos(phi), s_ * jnp.sin(phi), z], -1)
+    lp_s = pos_l + r_s[..., None] * n_s
     to_s = lp_s - shading_pos
     dist_s_sq = jnp.maximum(jnp.sum(to_s * to_s, axis=-1), 1e-12)
     dist_s = jnp.sqrt(dist_s_sq)
     dir_s = to_s / dist_s[..., None]
     cos_s = jnp.sum(n_s * (-dir_s), axis=-1)
-    area_s = jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9)
-    pdf_sph = dist_s_sq / jnp.maximum(cos_s * area_s, 1e-12)
+    pdf_sph = dist_s_sq * inv_area / jnp.maximum(cos_s, 1e-12)
     sph_visible = cos_s > 1e-6
 
     # --- directional: fixed direction, infinite distance
-    dir_d = -mu.safe_normalize(lt.position[li_idx])
+    dir_d = -mu.safe_normalize(pos_l)
 
     is_tri = kind == LIGHT_TRIANGLE
     is_sph = kind == LIGHT_SPHERE
@@ -280,12 +369,11 @@ def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
                     jnp.where(is_sph, pdf_sph * pick_pdf, pick_pdf))
     li = jnp.where(
         is_tri[..., None] | is_sph[..., None],
-        lt.radiance[li_idx] / jnp.maximum(pdf, 1e-20)[..., None],
+        rad / jnp.maximum(pdf, 1e-20)[..., None],
         jnp.where(is_pt[..., None],
-                  lt.radiance[li_idx] / dist_p_sq[..., None]
+                  rad / dist_p_sq[..., None]
                   / jnp.maximum(pick_pdf, 1e-20)[..., None],
-                  lt.radiance[li_idx]
-                  / jnp.maximum(pick_pdf, 1e-20)[..., None]))
+                  rad / jnp.maximum(pick_pdf, 1e-20)[..., None]))
     valid = jnp.where(is_tri, tri_visible,
                       jnp.where(is_sph, sph_visible, is_pt | is_dir)) \
         & (lt.count > 0)

@@ -47,8 +47,11 @@ class MaterialTable(NamedTuple):
     alpha_mode: jnp.ndarray            # (M,) int32: 0 opaque, 1 mask, 2 blend
     alpha_cutoff: jnp.ndarray          # (M,)
     double_sided: jnp.ndarray          # (M,) bool (glTF doubleSided)
-    uv_offset: jnp.ndarray             # (M,2) KHR_texture_transform
-    uv_scale: jnp.ndarray              # (M,2)
+    uv_offset: jnp.ndarray             # (M,2) legacy single transform
+    uv_scale: jnp.ndarray              # (M,2) (folded into uv_affine)
+    uv_affine: jnp.ndarray             # (M,24) KHR_texture_transform per
+    #   slot [base, normal, mr, emissive] x [m00,m01,m10,m11,tx,ty]
+    #   (full offset+ROTATION+scale, composed per the KHR spec)
     specular_factor: jnp.ndarray       # (M,) KHR_materials_specular
 
     @property
@@ -123,10 +126,10 @@ MP_NORMAL_TEX = 17
 MP_ALPHA_MODE = 18
 MP_ALPHA_CUTOFF = 19
 MP_DOUBLE_SIDED = 20
-MP_UV_OFFSET = 21      # 21:23
-MP_UV_SCALE = 23       # 23:25
-MP_SPECULAR_FACTOR = 25
-MP_COLS = 26
+MP_UV_AFFINE = 21      # 21:45 — 4 slots x 6 affine coefficients
+MP_SPECULAR_FACTOR = 45
+MP_COLS = 46
+UV_SLOT_BASE, UV_SLOT_NORMAL, UV_SLOT_MR, UV_SLOT_EMISSIVE = 0, 1, 2, 3
 
 
 def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
@@ -155,11 +158,26 @@ def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
         m.alpha_mode[:, None].astype(jnp.float32),
         m.alpha_cutoff[:, None],
         m.double_sided[:, None].astype(jnp.float32),
-        m.uv_offset,
-        m.uv_scale,
+        _effective_uv_affine(m, xp),
         m.specular_factor[:, None],
-    ], axis=-1)                                              # (M,26)
+    ], axis=-1)                                              # (M,46)
     return vert_pack, tri_pack, mat_pack
+
+
+def _effective_uv_affine(m, xp):
+    """(M,24): per-slot affine composed with the legacy single
+    offset+scale (uv' = A_slot @ (S_legacy uv + o_legacy) + t_slot)."""
+    a = m.uv_affine.reshape(-1, 4, 6)
+    s = m.uv_scale[:, None, :]                   # (M,1,2)
+    o = m.uv_offset[:, None, :]
+    m00 = a[..., 0] * s[..., 0]
+    m01 = a[..., 1] * s[..., 1]
+    m10 = a[..., 2] * s[..., 0]
+    m11 = a[..., 3] * s[..., 1]
+    tx = a[..., 0] * o[..., 0] + a[..., 1] * o[..., 1] + a[..., 4]
+    ty = a[..., 2] * o[..., 0] + a[..., 3] * o[..., 1] + a[..., 5]
+    return xp.stack([m00, m01, m10, m11, tx, ty],
+                    axis=-1).reshape(-1, 24)
 
 
 def default_material_table(n: int = 1) -> dict:
@@ -187,5 +205,7 @@ def default_material_table(n: int = 1) -> dict:
         double_sided=np.ones((n,), bool),
         uv_offset=np.zeros((n, 2), np.float32),
         uv_scale=np.ones((n, 2), np.float32),
+        uv_affine=np.tile(np.asarray([1, 0, 0, 1, 0, 0] * 4,
+                                     np.float32), (n, 1)),
         specular_factor=np.ones((n,), np.float32),
     )

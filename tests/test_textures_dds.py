@@ -1,0 +1,152 @@
+"""DDS decode (scene/dds.py) + per-slot KHR_texture_transform with
+rotation (VERDICT r2 item 10)."""
+import json
+import os
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rtxpt_tpu.scene import dds
+
+
+def _dds_header(w, h, fourcc=None, rgb=False):
+    hdr = bytearray(128)
+    hdr[0:4] = b"DDS "
+    struct.pack_into("<I", hdr, 4, 124)
+    struct.pack_into("<I", hdr, 8, 0x1007)
+    struct.pack_into("<I", hdr, 12, h)
+    struct.pack_into("<I", hdr, 16, w)
+    struct.pack_into("<I", hdr, 76, 32)
+    if fourcc:
+        struct.pack_into("<I", hdr, 80, 0x4)
+        hdr[84:88] = fourcc
+    elif rgb:
+        struct.pack_into("<I", hdr, 80, 0x41)
+        struct.pack_into("<I", hdr, 88, 32)
+        struct.pack_into("<IIII", hdr, 92,
+                         0xFF, 0xFF00, 0xFF0000, 0xFF000000)
+    return bytes(hdr)
+
+
+def test_dds_uncompressed_rgba8_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (8, 12, 4), np.uint8)
+    data = _dds_header(12, 8, rgb=True) + img.tobytes()
+    out = dds.decode_dds(data)
+    assert (out == img).all()
+
+
+def test_dds_bc1_solid_blocks():
+    # c0 == c1 (3-color mode), all indices 0 -> every texel == c0
+    c565 = (31 << 11) | (0 << 5) | 15      # pure-ish magenta
+    block = struct.pack("<HH", c565, c565) + b"\x00" * 4
+    data = _dds_header(8, 4, fourcc=b"DXT1") + block * 2
+    out = dds.decode_dds(data)
+    assert out.shape == (4, 8, 4)
+    assert (out[..., 0] == 255).all()       # r expanded from 31
+    assert (out[..., 1] == 0).all()
+    assert (out[..., 3] == 255).all()
+
+
+def test_dds_bc3_alpha_plane():
+    c565 = 63 << 5                           # green
+    color_block = struct.pack("<HH", c565, c565) + b"\x00" * 4
+    alpha_block = bytes([200, 10]) + b"\x00" * 6   # idx 0 -> a0=200
+    data = _dds_header(4, 4, fourcc=b"DXT5") + alpha_block + color_block
+    out = dds.decode_dds(data)
+    assert (out[..., 3] == 200).all()
+    assert (out[..., 1] == 255).all()
+
+
+def test_dds_bc5_two_channel():
+    r_block = bytes([100, 0]) + b"\x00" * 6
+    g_block = bytes([50, 0]) + b"\x00" * 6
+    data = _dds_header(4, 4, fourcc=b"ATI2") + r_block + g_block
+    out = dds.decode_dds(data)
+    assert (out[..., 0] == 100).all()
+    assert (out[..., 1] == 50).all()
+
+
+def test_dds_textured_gltf_renders(tmp_path):
+    """A .dds-textured glTF loads and renders (VERDICT 'Done' check)."""
+    from rtxpt_tpu.scene import gltf as G
+    from rtxpt_tpu.models.renderer import Renderer, reference_config
+    from rtxpt_tpu.scene import procedural
+    # checkerboard BC1: blocks of two solid colors
+    white = (31 << 11) | (63 << 5) | 31
+    black = 0
+    blocks = b""
+    for i in range(4):
+        c = white if i % 2 == 0 else black
+        blocks += struct.pack("<HH", c, c) + b"\x00" * 4
+    (tmp_path / "tex.dds").write_bytes(
+        _dds_header(8, 8, fourcc=b"DXT1") + blocks)
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "scene": 0,
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness":
+                       {"baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "tex.dds"}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3", "min": [-1, 0, -1], "max": [1, 0, 1]},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "buffers": [{"byteLength": 92, "uri": "geo.bin"}],
+    }
+    pos = np.asarray([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+                     np.float32)
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    (tmp_path / "geo.bin").write_bytes(
+        pos.tobytes() + uv.tobytes() + idx.tobytes())
+    (tmp_path / "s.gltf").write_text(json.dumps(doc))
+    host, info = G.load_gltf(str(tmp_path / "s.gltf"))
+    host["texture_images"] = info["textures"]    # cli.py:86 contract
+    assert host.get("texture_images") and \
+        np.asarray(host["texture_images"][0]).shape == (8, 8, 4)
+    cam = procedural.default_camera(24, 16)
+    r = Renderer(host, cam, reference_config(max_bounces=1))
+    img = np.asarray(r.render(24, 16, 1))
+    assert np.isfinite(img).all()
+
+
+def test_per_slot_uv_affine_rotation():
+    """types._effective_uv_affine + the KHR composition: a 90-degree
+    rotation on the normal slot moves only the normal tap."""
+    from rtxpt_tpu.scene import types as ST
+    m = ST.default_material_table(1)
+    # rotate normal slot 90deg CCW: A = R(90) = [[0,1],[-1,0]]
+    aff = m["uv_affine"].reshape(1, 4, 6)
+    aff[0, ST.UV_SLOT_NORMAL] = [0, 1, -1, 0, 0.0, 0.0]
+    import types as _t
+    mt = _t.SimpleNamespace(**{k: v for k, v in m.items()})
+    eff = ST._effective_uv_affine(mt, np).reshape(4, 6)
+    # base slot identity
+    assert np.allclose(eff[ST.UV_SLOT_BASE], [1, 0, 0, 1, 0, 0])
+    u, v = 0.25, 0.75
+    a = eff[ST.UV_SLOT_NORMAL]
+    uu = a[0] * u + a[1] * v + a[4]
+    vv = a[2] * u + a[3] * v + a[5]
+    assert np.allclose([uu, vv], [0.75, -0.25])
+    # legacy offset/scale composes into every slot
+    mt.uv_scale = np.asarray([[2.0, 1.0]], np.float32)
+    mt.uv_offset = np.asarray([[0.1, 0.0]], np.float32)
+    eff = ST._effective_uv_affine(mt, np).reshape(4, 6)
+    a = eff[ST.UV_SLOT_BASE]
+    assert np.allclose([a[0] * u + a[1] * v + a[4]], [2 * u + 0.1])
