@@ -74,9 +74,10 @@ def test_no_nans_full_materials():
     assert img.mean() > 0.01  # produced light
 
 
-@pytest.mark.slow
 def test_deterministic():
-    """Same sample index -> bit-identical image (stateless RNG)."""
+    """Same sample index -> bit-identical image (stateless RNG).
+    Fast-tier estimator gate (ADVICE r2: keep at least one cheap
+    correctness oracle in the default suite)."""
     cfg = reference_config(max_bounces=3)
     r1 = _renderer(cfg)
     r2 = _renderer(cfg)

@@ -116,6 +116,29 @@ def test_build_psr_mirror_chain():
     assert psr > 0.3, psr
 
 
+def test_stable_fill_fast_gate():
+    """Reduced fast-tier A/B (ADVICE r2): the stable-planes FILL
+    estimator vs reference mode at tiny scale — catches gross estimator
+    regressions in the default suite; the full-strength version below
+    stays in the slow tier."""
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(32, 24)
+    spp = 6
+    ref = np.asarray(Renderer(host, cam, reference_config(
+        max_bounces=3, max_diffuse_bounces=2)).render(32, 24, spp))
+    cfg = realtime_config(use_restir_di=False, use_restir_gi=False,
+                          denoiser_enabled=False, use_stable_planes=True,
+                          max_bounces=3, max_diffuse_bounces=2)
+    r = RealtimeRenderer(host, cam, cfg)
+    acc = np.zeros_like(ref)
+    for _ in range(spp):
+        acc += np.asarray(r.render_frame(32, 24, taa=False,
+                                         denoise=False))
+    acc /= spp
+    assert abs(acc.mean() - ref.mean()) / ref.mean() < 0.3, \
+        (acc.mean(), ref.mean())
+
+
 @pytest.mark.slow
 def test_stable_fill_matches_reference():
     """The decomposed FILL output (sum of planes + stable radiance) must
