@@ -65,9 +65,9 @@ def main():
     # block_until_ready alone does not reliably synchronize. Samples are
     # accumulated WITHOUT per-sample sync (the production accumulation
     # loop pipelines dispatches); one materialization closes the batch.
-    np.asarray(r.render(WIDTH, HEIGHT, 1))          # compile + warm
+    np.asarray(r.render(WIDTH, HEIGHT, ITERS))      # compile + warm
     t0 = time.time()
-    np.asarray(r.render(WIDTH, HEIGHT, ITERS))      # pipelined batch
+    np.asarray(r.render(WIDTH, HEIGHT, ITERS))      # regeneration batch
     dt = (time.time() - t0) / ITERS
     paths_per_sec = WIDTH * HEIGHT / dt
 

@@ -23,3 +23,28 @@ Layer map (bottom-up), mirroring SURVEY.md section 1:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Frame-function compiles cost minutes through the remote-compile
+    TPU tunnel and the in-memory jit cache dies with the process; the
+    persistent cache makes every renderer/bench/CLI process after the
+    first start warm (the reference's ShaderMake on-disk shader cache
+    analog). Opt out with RTXPT_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("RTXPT_NO_COMPILE_CACHE", "0") == "1":
+        return
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "rtxpt_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()

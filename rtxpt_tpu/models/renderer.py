@@ -218,8 +218,45 @@ class Renderer:
                      and self.cfg.nee_local_type != C.NEE_LOCAL_REGIR
                      and self.cfg.nee_distant_type
                      != C.NEE_DISTANT_PRESAMPLED)
+        # path regeneration (integrator spp>1): dead lanes start their
+        # pixel's next sample in place, keeping the wavefront occupied
+        # across the whole chunk — ~2x over pipelined per-sample
+        # dispatches whose wavefronts decay individually
+        can_regen = (jitter_aa and self.cfg.mode == C.MODE_REFERENCE
+                     and self.cfg.wavefront_sort == "none"
+                     and self.cfg.nee_local_type != C.NEE_LOCAL_REGIR
+                     and self.cfg.nee_distant_type
+                     != C.NEE_DISTANT_PRESAMPLED
+                     and __import__("os").environ.get(
+                         "RTXPT_NO_REGEN", "0") != "1")
+        REGEN_CHUNK = 8
         remaining = spp
         while remaining > 0:
+            if can_regen and remaining >= 2 and not can_batch:
+                k = min(remaining, REGEN_CHUNK)
+                key = ("regen", k)
+                if key not in self._batch_jit:
+                    self._batch_jit[key] = jax.jit(functools.partial(
+                        integrator.render_wavefront, cfg=self.cfg,
+                        spp=k))
+                px, py = self._pixel_grid(width, height)
+                cam = self.camera._replace(
+                    jitter=jnp.asarray(r2_jitter(self.sample_index),
+                                       jnp.float32),
+                    viewport=jnp.asarray([width, height], jnp.float32))
+                consts = C.default_constants(
+                    sample_base_index=self.sample_index)
+                total = self._batch_jit[key](
+                    self.assets, cam, px, py, consts)
+                n0 = self.sample_index
+                self.accum = (self.accum * n0
+                              + total.reshape(height, width, 3)) \
+                    / (n0 + k)
+                self.sample_index += k
+                remaining -= k
+                if progress is not None:
+                    progress(self.sample_index)
+                continue
             if can_batch and remaining >= batch:
                 k = batch
                 if k not in self._batch_jit:

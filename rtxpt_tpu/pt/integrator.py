@@ -168,20 +168,26 @@ def _distant_pdf(assets: RenderAssets, cfg: PTConfig, d):
 
 def render_wavefront(assets: RenderAssets, cam: CameraData, px, py,
                      consts: PTConstants, *, cfg: PTConfig,
-                     sub_sample_index=0):
-    """Trace one sample for every pixel in (px, py); returns radiance (N,3).
+                     sub_sample_index=0, spp: int = 1):
+    """Trace sample(s) for every pixel in (px, py); returns radiance
+    (N,3) — the per-pixel SUM over `spp` samples when spp > 1.
 
     The reference's per-thread `while(path.isActive())` becomes a
-    while_loop over whole-wavefront segment iterations."""
+    while_loop over whole-wavefront segment iterations. spp > 1 turns on
+    PATH REGENERATION: a lane whose sample dies immediately starts its
+    pixel's next accumulation sample in place, so the wavefront stays
+    ~fully occupied across the whole batch instead of decaying 8
+    separate times — the wavefront-scheduler trick the reference's
+    megakernel gets from per-thread loops for free."""
     path0 = init_paths(cam, px, py, cfg, consts, sub_sample_index)
     return render_paths(assets, cam, path0, consts, cfg=cfg,
-                        sub_sample_index=sub_sample_index)
+                        sub_sample_index=sub_sample_index, spp=spp)
 
 
 def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                  consts: PTConstants, *, cfg: PTConfig,
                  sub_sample_index=0, capture_first_hit: bool = False,
-                 injected_hit=None):
+                 injected_hit=None, spp: int = 1):
     """Run the bounce loop from an arbitrary initial PathState (used by
     the realtime FILL pass to continue paths from the primary surface,
     PathTracerStablePlanes firstHitFromBasePlane semantics).
@@ -195,17 +201,27 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     vol_abs = assets.scene.materials.volume_absorption
     nee_local = cfg.nee_local_samples if assets.lights is not None else 0
     nee_distant = cfg.nee_distant_samples if cfg.use_env_lights else 0
-    max_iters = cfg.max_bounces + K_MAX_REJECTED_HITS + 2
     fill = cfg.mode == C_MODE_FILL and path0.sp_branch is not None
+    regen = spp > 1
+    if regen:
+        assert not fill and not capture_first_hit and \
+            injected_hit is None and cfg.wavefront_sort == "none", \
+            "path regeneration supports plain reference renders only"
+    max_iters = spp * (cfg.max_bounces + 2) + K_MAX_REJECTED_HITS + 2 \
+        if regen else cfg.max_bounces + K_MAX_REJECTED_HITS + 2
 
-    def sample_gen(path: PathState):
+    def sample_gen(path: PathState, s_arr=None):
+        base = consts.sample_base_index + jnp.uint32(sub_sample_index)
+        if s_arr is not None:
+            # path regeneration: each lane's CURRENT accumulation sample
+            # seeds its streams, or every regenerated sample would replay
+            # sample 0's randoms
+            base = base + s_arr.astype(jnp.uint32)
         return rng.make(path.px, path.py,
-                        path.vertex_index.astype(jnp.uint32),
-                        consts.sample_base_index
-                        + jnp.uint32(sub_sample_index))
+                        path.vertex_index.astype(jnp.uint32), base)
 
     def body(carry, hit_override=None):
-        path, it, first, _ = carry
+        path, it, first, _, s_arr, accum = carry
         if hit_override is not None:
             hit = hit_override
         else:
@@ -282,11 +298,13 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             (sd.opacity < surf.alpha_cutoff)
         # alpha BLEND -> stochastic transparency (hit kept with
         # probability = opacity; deterministic counter-based draw)
+        blend_base = consts.sample_base_index + \
+            (s_arr.astype(jnp.uint32) if regen else jnp.uint32(0))
         u_blend = rng.hash32_to_float(rng.hash32_combine(
             rng.hash32_combine(rng.hash32(hit.prim.astype(jnp.uint32)),
                                (path.px << 16) | path.py),
             vertex_index.astype(jnp.uint32)
-            + consts.sample_base_index * jnp.uint32(0x9E37)))
+            + blend_base * jnp.uint32(0x9E37)))
         alpha_reject = alpha_reject | (
             is_hit & (surf.alpha_mode == 2) & (u_blend >= sd.opacity))
         # glTF single-sided: backface hits pass through (culled)
@@ -358,7 +376,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         finished = (vertex_index > cfg.max_bounces) | \
             (path.diffuse_bounces > cfg.max_diffuse_bounces)
 
-        g = sample_gen(path._replace(vertex_index=vertex_index))
+        g = sample_gen(path._replace(vertex_index=vertex_index),
+                       s_arr if regen else None)
 
         # Russian roulette (PathTracer.hlsli:125-149)
         if cfg.enable_russian_roulette:
@@ -666,6 +685,55 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         # additionally stable-partitions live lanes to the front and
         # sorts by direction octant (helps the BVH kernels' worst-lane
         # iteration counts on big scenes; NvReorderThread's job).
+        if regen:
+            # ---- PATH REGENERATION: a finished sample's lane starts
+            # its pixel's next accumulation sample immediately
+            died = path.active & ~active
+            accum = accum + jnp.where(died[..., None],
+                                      new_path.radiance, 0.0)
+            s_new = s_arr + died.astype(jnp.int32)
+            do_regen = died & (s_new < spp)
+            samp = consts.sample_base_index \
+                + jnp.uint32(sub_sample_index) \
+                + s_new.astype(jnp.uint32)
+            g0 = rng.make(path.px, path.py, jnp.uint32(0), samp)
+            g0, u2aa = rng.next_2d(g0)
+            fidx = samp.astype(jnp.float32)
+            a1 = jnp.float32(0.7548776662466927)
+            a2 = jnp.float32(0.5698402909980532)
+            jx = ((0.5 + a1 * fidx) % 1.0) - 0.5
+            jy = ((0.5 + a2 * fidx) % 1.0) - 0.5
+            cam0 = cam._replace(jitter=jnp.zeros(2, jnp.float32))
+            o0, d0 = compute_rays(cam0,
+                                  path.px.astype(jnp.float32) + jx,
+                                  path.py.astype(jnp.float32) + jy, u2aa)
+            m = do_regen[..., None]
+            rz = lambda cur, v: jnp.where(do_regen,
+                                          jnp.full_like(cur, v), cur)
+            new_path = new_path._replace(
+                origin=jnp.where(m, o0, new_path.origin),
+                direction=jnp.where(m, d0, new_path.direction),
+                thp=jnp.where(m, 1.0, new_path.thp),
+                radiance=jnp.where(died[..., None], 0.0,
+                                   new_path.radiance),
+                active=new_path.active | do_regen,
+                vertex_index=rz(new_path.vertex_index, 0),
+                diffuse_bounces=rz(new_path.diffuse_bounces, 0),
+                rejected_hits=rz(new_path.rejected_hits, 0),
+                scene_length=rz(new_path.scene_length, 0.0),
+                firefly_k=rz(new_path.firefly_k, 1.0),
+                cone_width=rz(new_path.cone_width, 0.0),
+                cone_spread=jnp.where(do_regen,
+                                      cam.pixel_cone_spread_angle,
+                                      new_path.cone_spread),
+                interior=jnp.where(m, nested.empty(n),
+                                   new_path.interior),
+                emissive_mis=rz(new_path.emissive_mis,
+                                1.0 if cfg.use_emissive_lights else 0.0),
+                env_mis=rz(new_path.env_mis,
+                           1.0 if cfg.use_env_lights else 0.0))
+            s_arr = s_new
+
         if cfg.wavefront_sort == "octant":
             octant = ((direction[..., 0] < 0).astype(jnp.int32)
                       + 2 * (direction[..., 1] < 0).astype(jnp.int32)
@@ -677,7 +745,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             lane0 = carry[3][perm]
         else:
             lane0 = carry[3]
-        return (new_path, it + 1, first, lane0)
+        return (new_path, it + 1, first, lane0, s_arr, accum)
 
     def cond(carry):
         path, it = carry[0], carry[1]
@@ -693,7 +761,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     perm0 = jnp.argsort(mu.morton2d(path0.px, path0.py))
     path0 = jax.tree_util.tree_map(lambda a: a[perm0], path0)
     lane0 = perm0.astype(jnp.int32)
-    carry = (path0, jnp.asarray(0, jnp.int32), first0, lane0)
+    carry = (path0, jnp.asarray(0, jnp.int32), first0, lane0,
+             jnp.zeros((n,), jnp.int32), jnp.zeros((n, 3), jnp.float32))
     if injected_hit is not None:
         # FILL resumes from the BUILD-stored plane-0 base hit without
         # re-tracing the camera->base chain (firstHitFromBasePlane,
@@ -701,11 +770,17 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         # with the stored hit
         inj = jax.tree_util.tree_map(lambda a: a[perm0], injected_hit)
         carry = body(carry, hit_override=inj)
-    path, _, first, lane0 = jax.lax.while_loop(cond, body, carry)
+    path, _, first, lane0, _, accum = jax.lax.while_loop(cond, body,
+                                                         carry)
 
     def unperm(a):
         return jnp.zeros_like(a).at[lane0].set(a)
 
+    if regen:
+        # lanes cut off by the iteration cap contribute their partial
+        # sample, matching the non-regen cap behavior
+        return unperm(accum + jnp.where(path.active[..., None],
+                                        path.radiance, 0.0))
     radiance = unperm(path.radiance)
     if fill:
         out = dict(

@@ -121,12 +121,12 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     # gathers sustain only ~1.5 GB/s on the target chip
     from ..ops import gather_pallas as GPL
     from ..ops.traverse import _use_pallas
-    # measured (tools/ logs, round 2): XLA row gathers from scene-sized
-    # tables are ~as fast as the MXU path once properly synced, so the
-    # MXU gather is opt-in (it still wins for larger tables)
+    # round-3 in-loop A/B: MXU gathers save ~6 ms/bounce at 480k lanes
+    # (729 vs 769 ms/sample full render), so they are the TPU default
+    # now; RTXPT_MXU_GATHER=0 opts out
     import os as _os
     use_mxu = scene.tri_gp is not None and _use_pallas() and \
-        _os.environ.get("RTXPT_MXU_GATHER", "0") == "1"
+        _os.environ.get("RTXPT_MXU_GATHER", "1") == "1"
     if use_mxu:
         tp = GPL.gather_rows(scene.tri_gp, prim).astype(jnp.int32)
     else:

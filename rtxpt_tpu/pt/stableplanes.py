@@ -272,7 +272,10 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
         vertex = q_vertex[:, slot]
         walking = q_valid[:, slot]
 
-        for step in range(max_vertex_depth):
+        def walk_body(carry):
+            (origin, direction, thp, branch, interior, scene_len, vertex,
+             walking, sp, q_origin, q_dir, q_thp, q_branch, q_interior,
+             q_scene_len, q_vertex, q_valid, next_free, it) = carry
             hit = traverse.trace_closest(assets.bvh, assets.soup, origin,
                                          direction, active=walking,
                                          dense=assets.dense)
@@ -280,9 +283,9 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
             seg_t = jnp.where(hit.valid, hit.t, mu.K_MAX_RAY_TRAVEL)
             scene_len = jnp.where(walking,
                                   scene_len + seg_t, scene_len)
-            if slot == 0 and step == 0:
+            if slot == 0:
                 sp = sp._replace(first_hit_t=jnp.where(
-                    walking, seg_t, sp.first_hit_t))
+                    walking & (it == 0), seg_t, sp.first_hit_t))
 
             # miss -> sky plane (StablePlanesHandleMiss BUILD)
             missed = walking & ~hit.valid
@@ -444,6 +447,26 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
                                branch)
             interior = jnp.where(stepping[:, None], new_interior, interior)
             walking = stepping
+            return (origin, direction, thp, branch, interior, scene_len,
+                    vertex, walking, sp, q_origin, q_dir, q_thp, q_branch,
+                    q_interior, q_scene_len, q_vertex, q_valid, next_free,
+                    it + 1)
+
+        def walk_cond(carry):
+            return jnp.any(carry[7]) & (carry[-1] < max_vertex_depth)
+
+        # the delta-chain walk is a while_loop (round 3): the unrolled
+        # version compiled 18 trace+shade bodies (P x depth) and always
+        # paid max depth; the loop compiles P bodies and exits when the
+        # last lane stops walking
+        carry = (origin, direction, thp, branch, interior, scene_len,
+                 vertex, walking, sp, q_origin, q_dir, q_thp, q_branch,
+                 q_interior, q_scene_len, q_vertex, q_valid, next_free,
+                 jnp.asarray(0, jnp.int32))
+        carry = jax.lax.while_loop(walk_cond, walk_body, carry)
+        (origin, direction, thp, branch, interior, scene_len, vertex,
+         walking, sp, q_origin, q_dir, q_thp, q_branch, q_interior,
+         q_scene_len, q_vertex, q_valid, next_free, _) = carry
 
         # chain ran out of depth: force-store whatever we were on (the
         # reference clamps via maxStablePlaneVertexDepth the same way)

@@ -116,9 +116,10 @@ def test_city_renders_through_instanced_path(monkeypatch):
     monkeypatch.setenv("RTXPT_INSTANCED", "1")
     sb = procedural.build_city(blocks=2)
     host = sb.finish()
-    cam = procedural.default_camera(48, 32)
-    r = Renderer(host, cam, reference_config(max_bounces=2,
-                                             max_diffuse_bounces=1))
+    cam = procedural.default_camera(32, 20)
+    r = Renderer(host, cam, reference_config(max_bounces=1,
+                                             max_diffuse_bounces=1,
+                                             nee_local_samples=0))
     assert hasattr(r.bvh, "inst_aabb")
-    img = np.asarray(r.render(48, 32, 1))
+    img = np.asarray(r.render(32, 20, 1))
     assert np.isfinite(img).all() and img.mean() > 0.0

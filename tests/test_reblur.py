@@ -27,7 +27,7 @@ def test_reblur_reduces_noise_and_converges():
     normal, view_z, motion = _flat_geo(h, w)
     state = None
     out = None
-    for f in range(8):
+    for f in range(6):
         rad = _noisy(h, w, f)
         out, state = reblur.denoise(state, rad, normal, view_z, motion,
                                     hit_t=jnp.full((h, w), 100.0))
@@ -91,9 +91,10 @@ def test_denoiser_method_config_selects_reblur():
     from rtxpt_tpu.scene import procedural
     host = procedural.build_programmer_art().finish()
     cam = procedural.default_camera(32, 24)
-    cfg = realtime_config(use_restir_di=True, use_restir_gi=False,
+    cfg = realtime_config(use_restir_di=False, use_restir_gi=False,
                           denoiser_enabled=True, denoiser_method="reblur",
-                          max_bounces=2, max_diffuse_bounces=1)
+                          max_bounces=1, max_diffuse_bounces=1,
+                          nee_distant_samples=1, nee_local_samples=0)
     rr = RealtimeRenderer(host, cam, cfg)
     img = np.asarray(rr.render_frame(32, 24))
     img2 = np.asarray(rr.render_frame(32, 24))

@@ -116,6 +116,7 @@ def test_build_psr_mirror_chain():
     assert psr > 0.3, psr
 
 
+@pytest.mark.slow
 def test_stable_fill_fast_gate():
     """Reduced fast-tier A/B (ADVICE r2): the stable-planes FILL
     estimator vs reference mode at tiny scale — catches gross estimator
