@@ -72,14 +72,23 @@ def main():
     paths_per_sec = WIDTH * HEIGHT / dt
 
     extras = {}
+    # realtime measurements respect a wall-clock budget so the driver
+    # always gets the JSON line even on a cold compile cache (the
+    # stable-planes frame compiles take minutes on the tunnel; the
+    # persistent cache makes later runs cheap)
+    budget = float(os.environ.get("RTXPT_BENCH_BUDGET_S", "2400"))
+    t_start = time.time()
     if os.environ.get("RTXPT_BENCH_SKIP_REALTIME", "0") != "1":
         try:
             extras["realtime_ms_per_frame_360p"] = round(
                 _realtime_ms(host, 640, 360, RT_ITERS), 1)
-            extras["realtime_ms_per_frame_1080p"] = round(
-                _realtime_ms(host, 1920, 1080, RT_ITERS), 1)
-            extras["realtime_fps_1080p"] = round(
-                1e3 / extras["realtime_ms_per_frame_1080p"], 2)
+            if time.time() - t_start < budget * 0.6:
+                extras["realtime_ms_per_frame_1080p"] = round(
+                    _realtime_ms(host, 1920, 1080, RT_ITERS), 1)
+                extras["realtime_fps_1080p"] = round(
+                    1e3 / extras["realtime_ms_per_frame_1080p"], 2)
+            else:
+                extras["realtime_1080p"] = "skipped (bench budget)"
         except Exception as e:                      # keep the primary
             extras["realtime_error"] = repr(e)[:200]  # metric alive
 

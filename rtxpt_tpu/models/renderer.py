@@ -89,13 +89,20 @@ class Renderer:
         n_tris = host_scene["indices"].shape[0]
         inst = host_scene.get("instancing")
         import os as _os
+        # NOTE: the per-mesh-rounds TLAS traversal materializes a
+        # (rays, instances) entry-distance matrix, so the auto path is
+        # capped at 256 instances (a 1080p frame x thousands of city
+        # instances would be tens of GB); bigger instanced scenes take
+        # the bvh2l soup path until the instance-level BVH lands
+        # (ROADMAP). RTXPT_INSTANCED=1 still forces it for tests.
         use_instanced = (
             inst is not None and not host_scene.get("skin_bindings")
             and _os.environ.get("RTXPT_INSTANCED", "auto") != "0"
             and (_os.environ.get("RTXPT_INSTANCED") == "1"
-                 or (n_tris > 45_000 and max(
-                     m["indices"].shape[0]
-                     for m in inst["meshes"]) <= 25_000)))
+                 or (n_tris > 45_000
+                     and len(inst["mesh_of_instance"]) <= 256
+                     and max(m["indices"].shape[0]
+                             for m in inst["meshes"]) <= 25_000)))
         if use_instanced:
             # real TLAS over deduplicated object-space BLASes
             # (ops/instanced.py; RTXPT/Sample.cpp:1353-1421)
