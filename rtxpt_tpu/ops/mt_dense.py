@@ -45,7 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import Hit
 
 TILE = 1024
-CLUSTER = 64            # triangles per cluster (one matmul + epilogue)
+import os as _os
+# triangles per cluster (one matmul + epilogue per visit); 64 measured
+# best on v5e (32 halves the epilogue block but pays ~2x visits)
+CLUSTER = int(_os.environ.get("RTXPT_MT_CLUSTER", "64"))
+assert CLUSTER in (32, 64), "packed winner rows use 6 bits"
 MAX_TRIS = 8192         # beyond this the BVH paths win (VMEM + pair count)
 
 
@@ -75,12 +79,15 @@ def _cross_mat(v):
 class DenseMT:
     """Per-cluster MT weight planes + worklist metadata."""
 
-    def __init__(self, weights, aabb, tri_ids, omm, center,
+    def __init__(self, weights, aabb, tri_ids, tri9, tri9_gp, center,
                  num_clusters: int, has_omm: bool):
         self.weights = weights        # (NC*RC, 16) f32; RC = (4|5)*CLUSTER
         self.aabb = aabb              # (NC, 6) f32 cluster min.xyz max.xyz
         self.tri_ids = tri_ids        # (NC*CLUSTER,) i32 original ids
-        self.omm = omm                # unused placeholder (baked in W)
+        self.tri9 = tri9              # (NC*CLUSTER, 9) f32 recentered
+        #                               (p0, e1, e2) for the exact
+        #                               post-kernel winner re-solve
+        self.tri9_gp = tri9_gp        # GatherPlanes of tri9 (MXU gather)
         self.center = center          # (3,) f32 recenter point
         self.num_clusters = num_clusters
         self.has_omm = has_omm
@@ -90,8 +97,9 @@ class DenseMT:
         return (5 if self.has_omm else 4) * CLUSTER
 
     def tree_flatten(self):
-        return ((self.weights, self.aabb, self.tri_ids, self.omm,
-                 self.center), (self.num_clusters, self.has_omm))
+        return ((self.weights, self.aabb, self.tri_ids, self.tri9,
+                 self.tri9_gp, self.center),
+                (self.num_clusters, self.has_omm))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -167,11 +175,22 @@ def build_dense(positions, indices, tri_omm=None) -> DenseMT:
         [pts, np.repeat(pts[-1:], t_pad - t, axis=0)], 0)
     pc = pts_pad.reshape(nc, CLUSTER * 3, 3)
     aabb = np.concatenate([pc.min(1), pc.max(1)], -1).astype(np.float32)
+
+    # recentered (p0, e1, e2) per SLOT for the exact winner re-solve
+    # (the kernel only selects the winning triangle; t/u/v come from a
+    # full-precision MT solve against this table)
+    tri9 = np.zeros((t_pad, 9), np.float32)
+    tri9[slot, 0:3] = p0a
+    tri9[slot, 3:6] = e1a
+    tri9[slot, 6:9] = e2a
+    from . import gather_pallas as GPL
+    tri9_gp = GPL.pack_f32(tri9) if GPL.supported(t_pad) else None
     return DenseMT(
         weights=jnp.asarray(w.astype(np.float32)),
         aabb=jnp.asarray(aabb),
         tri_ids=jnp.asarray(ids),
-        omm=jnp.zeros((1,), jnp.int32),
+        tri9=jnp.asarray(tri9),
+        tri9_gp=tri9_gp,
         center=jnp.asarray(center.astype(np.float32)),
         num_clusters=nc, has_omm=has_omm)
 
@@ -229,10 +248,11 @@ def _features(o_ref, d_ref):
     return jnp.stack(rows, axis=0)                       # (16, TILE)
 
 
-def _pair_test(out, has_omm, t_min, best_t, act):
+def _pair_test(out, has_omm, t_min, best_t, act, need_t: bool):
     """Epilogue over a cluster's (C, TILE) channel blocks -> per-pair
-    validity + t/u/v. Signs folded via s = sign(a) so one reciprocal of
-    |a| serves u, v and t."""
+    validity (+ t when need_t). Signs folded via s = sign(a); validity
+    uses MULTIPLY-form tests (st <-> absa*best) so the reciprocal is only
+    paid when t itself is needed (closest) or the OMM mask needs u/v."""
     C = CLUSTER
     A = out[0:C]
     U = out[C:2 * C]
@@ -243,29 +263,71 @@ def _pair_test(out, has_omm, t_min, best_t, act):
     su = U * sgn
     sv = V * sgn
     st = Tn * sgn
-    rcp = 1.0 / jnp.maximum(absa, 1e-30)
-    u = su * rcp
-    v = sv * rcp
-    t = st * rcp
     ok = ((absa > 1e-12) & (su >= 0.0) & (sv >= 0.0)
-          & (su + sv <= absa) & (t > t_min) & (t < best_t[None, :])
-          & act[None, :])
+          & (su + sv <= absa) & (st > absa * t_min)
+          & (st < absa * best_t[None, :]) & act[None, :])
+    t = None
+    rcp = None
+    if need_t:
+        rcp = 1.0 / jnp.maximum(absa, 1e-30)
+        t = st * rcp
     if has_omm:
+        if rcp is None:
+            rcp = 1.0 / jnp.maximum(absa, 1e-30)
+        u = su * rcp
+        v = sv * rcp
         mk = out[4 * C:5 * C].astype(jnp.int32)
         ci = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
         cj = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
         ok = ok & (((mk >> (ci * 4 + cj)) & 1) != 0)
-    return ok, t, u, v
+    return ok, t
+
+
+def _matmul_precision():
+    import os
+    return os.environ.get("RTXPT_MT_PRECISION", "high")
+
+
+def _cluster_matmul(wc, x, x_hi, x_lo, precision: str):
+    """(RC,16) @ (16,TILE) at the configured precision.
+
+    'highest': f32 via the 6-pass XLA lowering. 'high': manual 3-pass
+    bf16 split (w_hi@x_hi + w_lo@x_hi + w_hi@x_lo, each a single MXU
+    pass; Mosaic has no HIGH lowering) — ~2^-16 relative, enough for
+    the 6-bit-quantized winner SELECTION this kernel performs now that
+    exact t/u/v are re-solved outside. 'default': one bf16 pass."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "highest":
+        return jax.lax.dot_general(
+            wc, x, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    w_hi = wc.astype(jnp.bfloat16)
+    if precision == "default":
+        return jax.lax.dot_general(w_hi, x_hi, dims,
+                                   preferred_element_type=jnp.float32)
+    w_lo = (wc - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(w_hi, x_hi, dims,
+                              preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(w_lo, x_hi, dims,
+                               preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(w_hi, x_lo, dims,
+                               preferred_element_type=jnp.float32)
+    return out
 
 
 def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
     RC = (5 if has_omm else 4) * CLUSTER
+    precision = _matmul_precision()
+    INF_BITS = 0x7F800000  # python int: jnp scalars would be captured
+    #                        as pallas_call constants
 
     def kernel(counts_ref, clist_ref, aabb_ref, w_ref, o_ref, d_ref,
-               tmax_ref, act_ref, t_out, prim_out, u_out, v_out):
+               tmax_ref, act_ref, t_out, prim_out):
         i = pl.program_id(0)
         cnt = counts_ref[i]
         x = _features(o_ref, d_ref)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         act = act_ref[0] != 0
         t_min = jnp.float32(0.0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, TILE), 0)
@@ -280,8 +342,6 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
 
         t_out[0] = tmax_ref[0]
         prim_out[0] = jnp.full((TILE,), -1, jnp.int32)
-        u_out[0] = jnp.zeros((TILE,), jnp.float32)
-        v_out[0] = jnp.zeros((TILE,), jnp.float32)
 
         def cluster_gate(c, live, best):
             """Per-lane slab test vs the cluster AABB (recentered SMEM
@@ -314,16 +374,13 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
                 @pl.when(jnp.any(live))
                 def _():
                     wc = w_ref[pl.ds(c * RC, RC), :]
-                    out = jax.lax.dot_general(
-                        wc, x, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-                    ok, t, _, _ = _pair_test(out, has_omm, t_min,
-                                             tmax_ref[0], live)
+                    out = _cluster_matmul(wc, x, x_hi, x_lo, precision)
+                    ok, _ = _pair_test(out, has_omm, t_min,
+                                       tmax_ref[0], live, need_t=False)
                     # f32 min-reduction instead of jnp.any over i1
                     # sublanes (Mosaic miscompiled the boolean reduce)
-                    tt = jnp.where(ok, t, jnp.inf)
-                    found = jnp.min(tt, axis=0) < jnp.inf
+                    found = jnp.min(jnp.where(ok, 0.0, 1.0), axis=0) \
+                        < 0.5
                     prim_out[0] = jnp.where(found, 0, prim_out[0])
 
                 return 0
@@ -338,26 +395,28 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
                 @pl.when(jnp.any(live))
                 def _():
                     wc = w_ref[pl.ds(c * RC, RC), :]
-                    out = jax.lax.dot_general(
-                        wc, x, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+                    out = _cluster_matmul(wc, x, x_hi, x_lo, precision)
                     best = t_out[0]
-                    ok, t, u, v = _pair_test(out, has_omm, t_min, best,
-                                             act)
+                    ok, t = _pair_test(out, has_omm, t_min, best, act,
+                                       need_t=True)
+                    # winner row via ONE min-reduction: positive-f32
+                    # bitcast ordering is monotone, so (t_bits & ~63)
+                    # | row packs the distance and the 6-bit row index
+                    # into one sortable int (ties -> lowest row); the
+                    # ~2^-18 relative t quantization only affects
+                    # winner SELECTION — exact t/u/v are re-solved
+                    # outside the kernel from the winning triangle
                     tt = jnp.where(ok, t, jnp.inf)
-                    tmin_l = jnp.min(tt, axis=0)             # (TILE,)
-                    imp = tmin_l < best
-                    winrow = jnp.min(jnp.where(tt <= tmin_l[None, :],
-                                               rows, CLUSTER), axis=0)
-                    sel = (rows == winrow[None, :]) & ok
-                    u_w = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-                    v_w = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-                    t_out[0] = jnp.where(imp, tmin_l, best)
-                    prim_out[0] = jnp.where(imp, c * CLUSTER + winrow,
+                    tbits = jax.lax.bitcast_convert_type(tt, jnp.int32)
+                    packed = (tbits & ~63) | rows
+                    pmin = jnp.min(packed, axis=0)           # (TILE,)
+                    imp = pmin < INF_BITS
+                    t_new = jax.lax.bitcast_convert_type(
+                        pmin & ~63, jnp.float32)
+                    t_out[0] = jnp.where(imp, t_new, best)
+                    prim_out[0] = jnp.where(imp,
+                                            c * CLUSTER + (pmin & 63),
                                             prim_out[0])
-                    u_out[0] = jnp.where(imp, u_w, u_out[0])
-                    v_out[0] = jnp.where(imp, v_w, v_out[0])
 
                 return 0
 
@@ -406,26 +465,19 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
         out_specs=(pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)),
     )
-    t, prim, u, v = pl.pallas_call(
+    t, prim = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32)),
         grid_spec=grid_spec,
         interpret=interpret,
     )(counts, order,
       aabb_c, weights,
       (o - center[None, :]).T, d.T, tm[None, :],
       ac.astype(jnp.int32)[None, :])
-    uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
-    return t[0, :n], prim[0, :n], uv
+    return t[0, :n], prim[0, :n]
 
 
 def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
@@ -434,11 +486,38 @@ def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t, slot, uv = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
-                               origins, dirs, t_max, active,
-                               nc=dmt.num_clusters, has_omm=dmt.has_omm,
-                               any_hit=False, interpret=interpret)
-    prim = jnp.where(slot >= 0, dmt.tri_ids[jnp.maximum(slot, 0)], -1)
+    t_q, slot, = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
+                              origins, dirs, t_max, active,
+                              nc=dmt.num_clusters, has_omm=dmt.has_omm,
+                              any_hit=False, interpret=interpret)
+    found = slot >= 0
+    # exact winner re-solve: the kernel picks the triangle; t/u/v come
+    # from one full-precision MT solve per lane against the recentered
+    # (p0, e1, e2) table (MXU one-hot gather on TPU; plain indexing in
+    # interpret/CPU runs)
+    safe = jnp.maximum(slot, 0)
+    if dmt.tri9_gp is not None and not interpret:
+        from . import gather_pallas as GPL
+        tri9 = GPL.gather_rows(dmt.tri9_gp, safe)       # (N,9) f32
+    else:
+        tri9 = dmt.tri9[safe]
+    oc = origins - dmt.center[None, :]
+    p0 = tri9[..., 0:3]
+    e1 = tri9[..., 3:6]
+    e2 = tri9[..., 6:9]
+    h = jnp.cross(dirs, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30,
+                        jnp.where(a < 0, -1e-30, 1e-30), a)
+    s = oc - p0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(dirs * q, axis=-1)
+    t_e = f * jnp.sum(e2 * q, axis=-1)
+    t = jnp.where(found, t_e, t_q)
+    uv = jnp.where(found[..., None],
+                   jnp.stack([u, v], axis=-1), 0.0)
+    prim = jnp.where(found, dmt.tri_ids[safe], -1)
     return Hit(t, prim, uv)
 
 
@@ -448,8 +527,8 @@ def trace_anyhit(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    _, slot, _ = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
-                              origins, dirs, t_max, active,
-                              nc=dmt.num_clusters, has_omm=dmt.has_omm,
-                              any_hit=True, interpret=interpret)
+    _, slot = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
+                           origins, dirs, t_max, active,
+                           nc=dmt.num_clusters, has_omm=dmt.has_omm,
+                           any_hit=True, interpret=interpret)
     return slot >= 0

@@ -421,6 +421,109 @@ def bsdf_eval_pdf(b: FalcorBSDF, wi, wo):
     return pdf
 
 
+def bsdf_eval_split_pdf(b: FalcorBSDF, wi, wo):
+    """Fused eval_split + evalPdf for NEE: one half-vector / NDF /
+    Fresnel evaluation per lobe serves both the f*cos value and the
+    solid-angle pdf (the reference computes them in one BSDF pass too —
+    StandardBSDF.hlsli eval returns pdf alongside the split). Returns
+    (diffuse f*cos, specular f*cos, pdf)."""
+    wi_z = wi[..., 2]
+    wo_z = wo[..., 2]
+
+    # ---- diffuse reflection
+    ok_d = (jnp.minimum(wi_z, wo_z) >= K_MIN_COS_THETA) & (b.p_diffuse > 0.0)
+    w_fb = _diffuse_frostbite_weight(wi, wo, b.roughness)
+    base_d = jnp.where(ok_d, mu.M_1_PI * wo_z, 0.0)
+    f_diff = b.diff_albedo * (base_d * w_fb)[..., None]
+    pdf = b.p_diffuse * base_d
+
+    # ---- diffuse transmission
+    ok_dt = (jnp.minimum(wi_z, -wo_z) >= K_MIN_COS_THETA) & \
+        (b.p_diffuse_t > 0.0)
+    base_dt = jnp.where(ok_dt, mu.M_1_PI * -wo_z, 0.0)
+    f_diff_t = b.trans_albedo * base_dt[..., None]
+    pdf += b.p_diffuse_t * base_dt
+
+    # ---- specular reflection (shared h / D between value and BVNDF pdf)
+    ok_s = (jnp.minimum(wi_z, wo_z) >= K_MIN_COS_THETA) & \
+        (b.alpha > 0.0) & _has(b.active_lobes, LOBE_SPECULAR_REFLECTION)
+    h = mu.safe_normalize(wi + wo)
+    wi_dot_h = _dot(wi, h)
+    d_s = eval_ndf_ggx(b.alpha, h[..., 2])
+    g_s = eval_masking_smith_ggx_correlated(b.alpha, wi_z, wo_z)
+    f_s = fresnel_schlick(b.spec_albedo, 1.0, wi_dot_h[..., None])
+    spec_val = f_s * (d_s * g_s * 0.25
+                      / jnp.maximum(wi_z, 1e-12))[..., None]
+    f_spec = jnp.where((ok_s & (b.p_specular > 0.0))[..., None],
+                       spec_val, 0.0)
+    # BVNDF pdf with the shared D (Microfacet.hlsli:105-128)
+    a_s = mu.saturate(b.alpha)
+    s_s = 1.0 + jnp.sqrt(wi[..., 0] ** 2 + wi[..., 1] ** 2)
+    a2s, s2s = a_s * a_s, s_s * s_s
+    k_s = (1.0 - a2s) * s2s / (s2s + a2s * wi_z * wi_z)
+    t_s = jnp.sqrt((b.alpha * wi[..., 0]) ** 2
+                   + (b.alpha * wi[..., 1]) ** 2 + wi_z * wi_z)
+    pdf_s = d_s / jnp.maximum(2.0 * (k_s * wi_z + t_s), 1e-20)
+    pdf += jnp.where(ok_s, b.p_specular * pdf_s, 0.0)
+
+    # ---- specular reflection+transmission (shared h / dots / D / F)
+    is_refl = wo_z > 0.0
+    ok_t = (jnp.minimum(wi_z, jnp.abs(wo_z)) >= K_MIN_COS_THETA) & \
+        (b.alpha_t > 0.0)
+    has_r = _has(b.active_lobes, LOBE_SPECULAR_REFLECTION)
+    has_t = _has(b.active_lobes, LOBE_SPECULAR_TRANSMISSION)
+    ok_t &= jnp.where(is_refl, has_r, has_t)
+    h_t = wo + wi * jnp.where(is_refl, 1.0, b.eta)[..., None]
+    h_t = mu.safe_normalize(h_t)
+    h_t = h_t * jnp.where(h_t[..., 2:3] >= 0.0, 1.0, -1.0)
+    wi_dot_ht = _dot(wi, h_t)
+    wo_dot_ht = _dot(wo, h_t)
+    d_t = eval_ndf_ggx(b.alpha_t, h_t[..., 2])
+    g_t = eval_masking_smith_ggx_correlated(b.alpha_t, wi_z,
+                                            jnp.abs(wo_z))
+    f_t, _ = fresnel_dielectric(b.eta, wi_dot_ht)
+    refl = (f_t * d_t * g_t * 0.25
+            / jnp.maximum(wi_z, 1e-12))[..., None] * \
+        jnp.ones_like(b.trans_albedo)
+    sqrt_denom = wo_dot_ht + b.eta * wi_dot_ht
+    tterm = b.eta * b.eta * wi_dot_ht * wo_dot_ht / (
+        jnp.maximum(wi_z, 1e-12) *
+        jnp.where(jnp.abs(sqrt_denom) < 1e-12, 1e-12, sqrt_denom) ** 2)
+    trans = b.trans_albedo * ((1.0 - f_t) * d_t * g_t
+                              * jnp.abs(tterm))[..., None]
+    f_spec_t = jnp.where((ok_t & (b.p_specular_t > 0.0))[..., None],
+                         jnp.where(is_refl[..., None], refl, trans), 0.0)
+    # BVNDF pdf with the shared D + Jacobians (BxDF.hlsli:506-558)
+    a_t = mu.saturate(b.alpha_t)
+    s2t = s2s                     # depends on wi only
+    a2t = a_t * a_t
+    k_t = (1.0 - a2t) * s2t / (s2t + a2t * wi_z * wi_z)
+    t_t = jnp.sqrt((b.alpha_t * wi[..., 0]) ** 2
+                   + (b.alpha_t * wi[..., 1]) ** 2 + wi_z * wi_z)
+    pdf_m = d_t / jnp.maximum(2.0 * (k_t * wi_z + t_t), 1e-20)
+    pdf_r = jnp.where(wo_dot_ht <= 0.0, 0.0,
+                      pdf_m * wi_dot_ht
+                      / jnp.maximum(wo_dot_ht, 1e-12))
+    denom = jnp.maximum(sqrt_denom * sqrt_denom, 1e-20)
+    pdf_tr = jnp.where(wo_dot_ht > 0.0, 0.0,
+                       pdf_m * wi_dot_ht * 4.0 * jnp.abs(wo_dot_ht)
+                       / denom)
+    pdf_st = jnp.where(is_refl, pdf_r, pdf_tr)
+    pdf_st = jnp.where(has_r & has_t,
+                       pdf_st * jnp.where(is_refl, f_t, 1.0 - f_t),
+                       pdf_st)
+    pdf += jnp.where(ok_t, b.p_specular_t
+                     * jnp.clip(pdf_st, 0.0, mu.FLT_MAX), 0.0)
+
+    # mixture weights (bsdf_eval_split's outer factors)
+    diffuse = ((1.0 - b.spec_trans) * (1.0 - b.diff_trans))[..., None] \
+        * f_diff + ((1.0 - b.spec_trans) * b.diff_trans)[..., None] \
+        * f_diff_t
+    specular = (1.0 - b.spec_trans)[..., None] * f_spec \
+        + b.spec_trans[..., None] * f_spec_t
+    return diffuse, specular, pdf
+
+
 def bsdf_sample(b: FalcorBSDF, wi, u3) -> BSDFSample:
     """FalcorBSDF::sample (BxDF.hlsli:785-869) with RecycleSelectSamples.
 
@@ -527,41 +630,21 @@ def bsdf_sample(b: FalcorBSDF, wi, u3) -> BSDFSample:
         wi, wo_cos, b.roughness)[..., None]
     d_weight = d_weight / jnp.maximum(b.p_diffuse, 1e-20)[..., None] * \
         ((1.0 - b.spec_trans) * (1.0 - b.diff_trans))[..., None]
-    d_pdf = pdf_cos * b.p_diffuse
-    d_pdf += jnp.where(b.p_specular > 0.0,
-                       b.p_specular * spec_pdf(b, wi, wo_cos), 0.0)
-    d_pdf += jnp.where(b.p_specular_t > 0.0,
-                       b.p_specular_t * spec_trans_pdf(b, wi, wo_cos), 0.0)
 
     # diffuse transmission branch
     dt_valid = wi_z_ok & (-wo_dt[..., 2] >= K_MIN_COS_THETA)
     dt_weight = b.trans_albedo / jnp.maximum(b.p_diffuse_t,
                                              1e-20)[..., None] * \
         ((1.0 - b.spec_trans) * b.diff_trans)[..., None]
-    dt_pdf = pdf_cos * b.p_diffuse_t
-    dt_pdf += jnp.where(b.p_specular_t > 0.0,
-                        b.p_specular_t * spec_trans_pdf(b, wi, wo_dt), 0.0)
 
     # specular reflection branch
     s_weight = sr_weight / jnp.maximum(b.p_specular, 1e-20)[..., None] * \
         (1.0 - b.spec_trans)[..., None]
-    s_pdf = sr_pdf * b.p_specular
-    s_pdf += jnp.where(b.p_diffuse > 0.0,
-                       b.p_diffuse * diffuse_pdf(wi, wo_sr), 0.0)
-    s_pdf += jnp.where(b.p_specular_t > 0.0,
-                       b.p_specular_t * spec_trans_pdf(b, wi, wo_sr), 0.0)
     s_lobe_p = jnp.ones_like(b.alpha)
 
     # specular reflection+transmission branch
     t_weight = st_weight / jnp.maximum(b.p_specular_t, 1e-20)[..., None] * \
         b.spec_trans[..., None]
-    t_pdf = st_pdf * b.p_specular_t
-    t_pdf += jnp.where(b.p_diffuse > 0.0,
-                       b.p_diffuse * diffuse_pdf(wi, wo_st), 0.0)
-    t_pdf += jnp.where(b.p_diffuse_t > 0.0,
-                       b.p_diffuse_t * diffuse_trans_pdf(wi, wo_st), 0.0)
-    t_pdf += jnp.where(b.p_specular > 0.0,
-                       b.p_specular * spec_pdf(b, wi, wo_st), 0.0)
 
     valid = jnp.where(sel_diff, d_valid,
                       jnp.where(sel_difft, dt_valid,
@@ -573,10 +656,13 @@ def bsdf_sample(b: FalcorBSDF, wi, u3) -> BSDFSample:
                                  jnp.where(sel_spec[..., None], s_weight,
                                            jnp.where(sel_spect[..., None],
                                                      t_weight, zero3))))
-    pdf = jnp.where(sel_diff, d_pdf,
-                    jnp.where(sel_difft, dt_pdf,
-                              jnp.where(sel_spec, s_pdf,
-                                        jnp.where(sel_spect, t_pdf, 0.0))))
+    # mixture pdf of the SELECTED direction: identical to the per-branch
+    # "own pdf + cross terms" sums the reference writes out lobe by lobe
+    # (each branch's own sampling pdf equals its evalPdf at wo, and every
+    # cross term is another lobe's evalPdf at wo — so the whole 10-eval
+    # cascade collapses to ONE evalPdf of the selected wo; 4 lobe-pdf
+    # evaluations instead of 10 per bounce)
+    pdf = bsdf_eval_pdf(b, wi, wo)
     lobe = jnp.where(sel_diff, LOBE_DIFFUSE_REFLECTION,
                      jnp.where(sel_difft, LOBE_DIFFUSE_TRANSMISSION,
                                jnp.where(sel_spec, sr_lobe,

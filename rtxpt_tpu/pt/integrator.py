@@ -475,14 +475,13 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                             assets.lights, assets.scene.positions,
                             assets.scene.indices, sd.pos, u3l)
                     light_mis_pdf = jnp.full((n,), LOCAL_PDF_ESTIMATE_K)
-                scatter_pdf_for_dir = B.bsdf_eval_pdf(
-                    bsdf, wi_local, sd.to_local(ls.direction))
+                wo_nee = sd.to_local(ls.direction)
+                fd, fs, scatter_pdf_for_dir = B.bsdf_eval_split_pdf(
+                    bsdf, wi_local, wo_nee)
                 mis = mu.eval_mis(1.0, light_mis_pdf / sample_weight, 1.0,
                                   scatter_pdf_for_dir)
                 li = ls.li * (mis * sample_weight)[..., None]
                 pdf_for_firefly = ls.pdf / sample_weight
-                fd, fs = B.bsdf_eval_split(bsdf, wi_local,
-                                           sd.to_local(ls.direction))
                 lum = mu.luminance((fd + fs) * li)
                 need_ray = will_scatter_nee(shade, finished, rr_kill) & \
                     ls.valid & (lum > consts.nee_min_radiance_threshold)

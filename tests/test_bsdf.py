@@ -159,3 +159,43 @@ def test_rough_glass_transmits():
     below = np.asarray(s.wo)[:, 2] < 0
     np.testing.assert_array_equal(
         below[valid], (lobe == B.LOBE_SPECULAR_TRANSMISSION)[valid])
+
+
+def test_eval_split_pdf_fused_matches_separate():
+    """bsdf_eval_split_pdf must reproduce bsdf_eval_split +
+    bsdf_eval_pdf exactly over a mixed-material wavefront (it is the
+    fused NEE path; any drift is an estimator bug)."""
+    rs = np.random.RandomState(7)
+    n = 8192
+    ones = np.ones((n,), np.float32)
+    data = B.BSDFData(
+        diffuse=jnp.asarray(rs.uniform(0, 1, (n, 3)).astype(np.float32)),
+        specular=jnp.asarray(rs.uniform(0, 1, (n, 3)).astype(np.float32)),
+        roughness=jnp.asarray(
+            rs.uniform(0, 1, n).astype(np.float32)),
+        metallic=jnp.asarray(
+            (rs.uniform(size=n) < 0.3).astype(np.float32)),
+        eta=jnp.asarray(np.where(rs.uniform(size=n) < 0.5, 1.0,
+                                 1 / 1.5).astype(np.float32)),
+        transmission=jnp.asarray(
+            rs.uniform(0, 1, (n, 3)).astype(np.float32)),
+        diffuse_transmission=jnp.asarray(
+            (rs.uniform(size=n) < 0.2).astype(np.float32) * 0.5),
+        specular_transmission=jnp.asarray(
+            (rs.uniform(size=n) < 0.4).astype(np.float32) * 0.9))
+    wi = rs.normal(size=(n, 3)).astype(np.float32)
+    wi[:, 2] = np.abs(wi[:, 2]) + 1e-3
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    wo = rs.normal(size=(n, 3)).astype(np.float32)
+    wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+    b = B.make_bsdf(data, jnp.asarray(wi[:, 2]), jnp.zeros(n, bool))
+    fd0, fs0 = B.bsdf_eval_split(b, jnp.asarray(wi), jnp.asarray(wo))
+    pdf0 = B.bsdf_eval_pdf(b, jnp.asarray(wi), jnp.asarray(wo))
+    fd1, fs1, pdf1 = B.bsdf_eval_split_pdf(b, jnp.asarray(wi),
+                                           jnp.asarray(wo))
+    np.testing.assert_allclose(np.asarray(fd1), np.asarray(fd0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs1), np.asarray(fs0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pdf1), np.asarray(pdf0),
+                               rtol=1e-5, atol=1e-6)

@@ -61,14 +61,19 @@ def main():
     def bench_cfg(tag, cfg, iters=6):
         r = Renderer(host, cam, cfg,
                      env_radiance=EM.bake_procedural_sky(height=64))
+        # warm with the SAME call shape as the timed run: render(iters)
+        # compiles the regen-chunk variant, which render(1) does not —
+        # timing a cold regen chunk would charge its ~50 s compile to
+        # the steady state
         t0 = time.time()
-        np.asarray(r.render(W, H, 1))
+        np.asarray(r.render(W, H, iters))
         c = time.time() - t0
+        r.accum = None
         t0 = time.time()
         np.asarray(r.render(W, H, iters))
         dt = (time.time() - t0) / iters
         print(f"{tag}: {dt*1e3:7.0f} ms/sample ({n/dt/1e6:.3f} Mpaths/s)"
-              f"  [compile {c:.0f}s]", flush=True)
+              f"  [compile+1 {c:.0f}s]", flush=True)
         return dt
 
     full = bench_cfg("full 6-bounce        ", base)
