@@ -209,10 +209,22 @@ def trace_closest(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
     hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
     use_pallas = _use_pallas()
 
-    def body(carry, s):
+    # nearest-first probe: round 1 sends each ray into ONLY its
+    # min-entry-t overlapped subtree, so best_t is tight before the full
+    # sweep and `tn < best_t` culls most of the remaining K dispatches
+    # (the t-ordered visit the per-thread reference traversal gets for
+    # free from its recursion order)
+    near = jnp.argmin(jnp.where(hit_k, tn_k, jnp.inf), axis=1)
+    # probe+sweep only pays off when the sweep has many subtrees to cull
+    use_probe = tl.num_subtrees >= 8
+
+    def body(carry, s_probe):
+        s, probe = s_probe
         best_t, best_prim, best_u, best_v = carry
         want = active & jnp.take(hit_k, s, axis=1) & \
             (jnp.take(tn_k, s, axis=1) < best_t)
+        if use_probe:
+            want = want & jnp.where(probe, near == s, near != s)
         if use_pallas:
             from .traverse_pallas import _trace_pallas
             nodes_s = jax.lax.dynamic_index_in_dim(
@@ -245,8 +257,17 @@ def trace_closest(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
 
     init = (t_max, jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n,)), jnp.zeros((n,)))
-    (bt, bp, bu, bv), _ = jax.lax.scan(
-        body, init, jnp.arange(tl.num_subtrees))
+    k = tl.num_subtrees
+    if use_probe:
+        # probe + sweep (2K dispatches, but the sweep is mostly culled)
+        ss = jnp.concatenate([jnp.arange(k), jnp.arange(k)])
+        probe = jnp.concatenate([jnp.ones(k, bool), jnp.zeros(k, bool)])
+    else:
+        # few subtrees: the probe's extra dispatches cost more than the
+        # culling saves
+        ss = jnp.arange(k)
+        probe = jnp.zeros(k, bool)
+    (bt, bp, bu, bv), _ = jax.lax.scan(body, init, (ss, probe))
     return Hit(bt, bp, jnp.stack([bu, bv], -1))
 
 

@@ -1,6 +1,7 @@
 """Every advertised debug view renders (VERDICT round-1 weak #9: five
 advertised views raised ValueError)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtxpt_tpu.models.renderer import Renderer, reference_config
@@ -17,13 +18,26 @@ def _setup():
     return r
 
 
+def _surface_views():
+    return [v for v in DV.VIEWS
+            if not v.startswith(("Denoiser", "ReSTIR", "StablePlane",
+                                 "StableRadiance", "NaN"))]
+
+
 def test_surface_views_render():
+    # fast tier: representative subset (one per G-buffer family); the
+    # every-view sweep runs in the slow tier
     r = _setup()
-    surface_views = [v for v in DV.VIEWS
-                     if not v.startswith(("Denoiser", "ReSTIR",
-                                          "StablePlane", "StableRadiance",
-                                          "NaN"))]
-    for v in surface_views:
+    for v in _surface_views()[::4]:
+        img = np.asarray(DV.render_debug_view(v, r.assets, r.camera, W, H))
+        assert img.shape == (H, W, 3), v
+        assert np.isfinite(img).all(), v
+
+
+@pytest.mark.slow
+def test_surface_views_render_all():
+    r = _setup()
+    for v in _surface_views():
         img = np.asarray(DV.render_debug_view(v, r.assets, r.camera, W, H))
         assert img.shape == (H, W, 3), v
         assert np.isfinite(img).all(), v

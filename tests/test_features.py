@@ -42,6 +42,8 @@ def test_envmap_importance_sampling_pdf_consistency():
     np.testing.assert_allclose(est, ref, rtol=0.05)
 
 
+@pytest.mark.slow  # BVH8 refit oracle: compile-heavy; fast-tier refit
+#   coverage lives in test_instanced + test_skinning
 def test_refit_bvh8_after_animation():
     from rtxpt_tpu.ops import bvh as B, intersect as I
     from rtxpt_tpu.ops import traverse as TR

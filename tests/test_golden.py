@@ -2,9 +2,9 @@
 harness, Sample.cpp:2227-2255, wired into pytest per round-2 plan).
 
 Two tiers:
-  * fast gate (default suite): 96x72 4spp reference render vs a golden
+  * fast gate (default suite): 64x48 2spp reference render vs a golden
     generated on the same CPU mesh -- deterministic RNG makes this tight;
-    catches lighting/BSDF/RNG/traversal regressions in ~90 s.
+    catches lighting/BSDF/RNG/traversal regressions in ~20 s.
   * slow gate (-m slow): the 160x120 8spp golden shared with the TPU CLI
     harness; thresholds loose enough to absorb CPU-vs-TPU numerics.
 """
@@ -41,8 +41,8 @@ def _compare(img, golden_name):
 
 
 def test_reference_render_matches_golden_fast():
-    m = _compare(_render(96, 72, 4),
-                 "golden_programmer_art_96x72_4spp.png")
+    m = _compare(_render(64, 48, 2),
+                 "golden_programmer_art_64x48_2spp.png")
     # same-platform deterministic render; only quantization + minor XLA
     # version drift expected
     assert m["psnr"] > 30.0, m

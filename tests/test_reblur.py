@@ -96,7 +96,8 @@ def test_denoiser_method_config_selects_reblur():
                           max_bounces=1, max_diffuse_bounces=1,
                           nee_distant_samples=1, nee_local_samples=0)
     rr = RealtimeRenderer(host, cam, cfg)
+    # one frame: the has_prev variant (a second full compile) is covered
+    # by test_reblur_reduces_noise_and_converges
     img = np.asarray(rr.render_frame(32, 24))
-    img2 = np.asarray(rr.render_frame(32, 24))
-    assert np.isfinite(img).all() and np.isfinite(img2).all()
-    assert img2.mean() > 0.0
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
