@@ -57,6 +57,10 @@ def build_arg_parser():
                    help="realtime: full 3-plane stable-planes "
                    "decomposition (BUILD/FILL) instead of PSR-lite")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug-lines-pixel", default=None, metavar="X,Y",
+                   help="overlay the traced bounce chain of pixel X,Y "
+                   "as debug lines on the output (the reference's "
+                   "pick-pixel DebugLines visualization)")
     p.add_argument("--debug-view", default=None,
                    help="render a debug channel instead of the beauty "
                    "pass (ShaderDebug DebugViewType equivalent); see "
@@ -244,6 +248,19 @@ def main(argv=None) -> int:
         print(f"rendered {args.width}x{args.height} @ {spp}spp in "
               f"{total:.1f}s; steady-state {steady * 1000:.0f} ms/sample "
               f"({n_rays / max(steady, 1e-9) / 1e6:.2f} Mpaths/s)")
+
+    if args.debug_lines_pixel:
+        from ..utils import debuglines as DL
+        import jax.numpy as jnp
+        import numpy as np
+        dx, dy = (int(v) for v in args.debug_lines_pixel.split(","))
+        cam_dl = cam._replace(viewport=jnp.asarray(
+            [args.width, args.height], jnp.float32))
+        buf = DL.lines_for_path(r.assets, cam_dl, dx, dy)
+        srgb = np.asarray(DL.rasterize_overlay(jnp.asarray(srgb), buf,
+                                               cam_dl))
+        if not args.quiet:
+            print(f"debug lines: pixel ({dx},{dy}) path overlay")
 
     IM.save_png(args.output, srgb)
     if args.dump_npy:

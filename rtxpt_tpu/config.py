@@ -44,6 +44,8 @@ class PTConfig:
     nee_distant_samples: int = 2          # SampleUI.h:149
     nee_local_samples: int = 2            # SampleUI.h:152
     nee_local_type: int = NEE_LOCAL_POWER
+    regir_layout: str = "grid"        # "grid" | "onion" (LightSamplingLocal
+    #   .hlsli:555 onion cell layout; camera-centred log shells)
     enable_russian_roulette: bool = True
     use_env_lights: bool = True           # PathTracer.hlsli:22
     use_emissive_lights: bool = True
@@ -66,6 +68,13 @@ class PTConfig:
     #   octant sort, permuting the whole PathState (round-2 behavior;
     #   helps the BVH kernels on big scenes at permute-gather cost).
     wavefront_sort: str = "none"
+    # tail compaction: once the live set of a non-regen wavefront fits
+    # in n//8 lanes, gather survivors and continue the bounce loop at
+    # narrow width (kills the <1%-occupancy full-width tail the FILL
+    # 30-bounce loop pays; see ROADMAP round-3 decomposition)
+    wavefront_compaction: bool = True
+    wavefront_compaction_min: int = 16384  # only compact wavefronts
+    #   at least this wide (below it the full-width tail is cheap)
     # NRD-slot denoiser selection (Sample.cpp:1461-1466): "relax"
     # (a-trous variance-guided, denoise/relax.py) or "reblur"
     # (hit-distance-driven kernel scaling, denoise/reblur.py)

@@ -524,6 +524,10 @@ class RealtimeRenderer(Renderer):
         self.taau_state = None     # display-res upscaler history
         self._frame_jit = None
         self._post_jit = {}
+        # debug-view sources (ShaderDebug): the PSR-lite path fills
+        # last_outputs, the stable-planes path fills last_stable_planes
+        self.last_outputs = None
+        self.last_stable_planes = None
 
     def render_frame(self, width: int, height: int,
                      camera: Optional[CameraData] = None,

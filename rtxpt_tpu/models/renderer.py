@@ -200,7 +200,8 @@ class Renderer:
             hi = jnp.max(self.scene.positions, axis=0) + 1e-3
             assets = assets._replace(regir=RG.build_regir(
                 self.lights, self.scene.positions, self.scene.indices,
-                lo, hi, sample_index))
+                lo, hi, sample_index, layout=self.cfg.regir_layout,
+                center=self.camera.pos))
         if self.cfg.nee_distant_type == C.NEE_DISTANT_PRESAMPLED:
             # per-frame presampled env light list (EnvMapImportance-
             # SamplingBaker presampling; Config.h:86)

@@ -222,6 +222,9 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
 
     def body(carry, hit_override=None):
         path, it, first, _, s_arr, accum = carry
+        nb = path.px.shape[0]   # width-agnostic: the tail-compacted
+        #                         narrow loop re-traces this body at a
+        #                         smaller wavefront width
         if hit_override is not None:
             hit = hit_override
         else:
@@ -324,7 +327,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                                        sd.nested_priority, sd.front_facing),
             path.interior)
         origin = jnp.where(can_reject[..., None],
-                           sd.compute_new_ray_origin(jnp.zeros(n, bool)),
+                           sd.compute_new_ray_origin(jnp.zeros(nb, bool)),
                            path.origin)
         vertex_index = vertex_index - can_reject.astype(jnp.int32)
         rejected_hits = path.rejected_hits + can_reject.astype(jnp.int32)
@@ -389,7 +392,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             thp = jnp.where((shade & ~rr_kill)[..., None],
                             thp / (1.0 - prob)[..., None], thp)
         else:
-            rr_kill = jnp.zeros(n, bool)
+            rr_kill = jnp.zeros(nb, bool)
 
         pre_scatter_thp = thp
         pre_scatter_firefly_k = path.firefly_k
@@ -474,7 +477,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                         ls = LI.sample_local_lights(
                             assets.lights, assets.scene.positions,
                             assets.scene.indices, sd.pos, u3l)
-                    light_mis_pdf = jnp.full((n,), LOCAL_PDF_ESTIMATE_K)
+                    light_mis_pdf = jnp.full((nb,), LOCAL_PDF_ESTIMATE_K)
                 wo_nee = sd.to_local(ls.direction)
                 fd, fs, scatter_pdf_for_dir = B.bsdf_eval_split_pdf(
                     bsdf, wi_local, wo_nee)
@@ -487,7 +490,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                     ls.valid & (lum > consts.nee_min_radiance_threshold)
                 nee_k = mu.new_scatter_firefly_filter_k(
                     pre_scatter_firefly_k, cam.pixel_cone_spread_angle,
-                    pdf_for_firefly, jnp.ones((n,)))
+                    pdf_for_firefly, jnp.ones((nb,)))
                 grazing = jnp.where(
                     sd.shadow_nol_fadeout > 0.0,
                     mu.compute_low_grazing_angle_falloff(
@@ -504,7 +507,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                 nee_pdf.append(need_ray)
             # one batched visibility trace for all NEE samples
             k_total = len(nee_dirs)
-            vis_o = sd.compute_new_ray_origin(jnp.ones(n, bool))
+            vis_o = sd.compute_new_ray_origin(jnp.ones(nb, bool))
             all_o = jnp.tile(vis_o, (k_total, 1))
             all_d = jnp.concatenate(nee_dirs, axis=0)
             all_t = jnp.concatenate(nee_dists, axis=0) * (1.0 - 1e-4)
@@ -513,7 +516,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             occluded = VIS.trace_visibility(
                 assets, all_o, all_d, t_min=0.0, t_max=all_t,
                 active=all_act, exact=cfg.exact_alpha_test)
-            visible = (~occluded).reshape(k_total, n)
+            visible = (~occluded).reshape(k_total, nb)
             contrib_d = sum(
                 jnp.where(visible[i][..., None], nee_diff[i], 0.0)
                 for i in range(k_total))
@@ -536,7 +539,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                     for i in range(k_total)) / k_total
                 acc_t = SP.accumulate_hit_t(
                     sp_hit_t, nee_dist, path.sp_bounces + 1,
-                    jnp.zeros((n,), bool))
+                    jnp.zeros((nb,), bool))
                 on_base = path.sp_on_plane & ~restir_covered
                 sp_pend_diff = jnp.where(
                     on_base[..., None],
@@ -634,7 +637,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                                              s4[:, None, 3]), cs_)
             # reset pending state on transfer; update plane bookkeeping
             reset = transfer & scattered
-            zero4 = jnp.zeros((n, 4))
+            zero4 = jnp.zeros((nb, 4))
             sp_fields = dict(
                 sp_branch=jnp.where(scattered, new_branch, path.sp_branch),
                 sp_plane=jnp.where(reset, transfer_plane, path.sp_plane),
@@ -725,7 +728,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                 cone_spread=jnp.where(do_regen,
                                       cam.pixel_cone_spread_angle,
                                       new_path.cone_spread),
-                interior=jnp.where(m, nested.empty(n),
+                interior=jnp.where(m, nested.empty(nb),
                                    new_path.interior),
                 emissive_mis=rz(new_path.emissive_mis,
                                 1.0 if cfg.use_emissive_lights else 0.0),
@@ -769,8 +772,46 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         # with the stored hit
         inj = jax.tree_util.tree_map(lambda a: a[perm0], injected_hit)
         carry = body(carry, hit_override=inj)
-    path, _, first, lane0, _, accum = jax.lax.while_loop(cond, body,
-                                                         carry)
+
+    # ---- tail compaction (wavefront width shrink). Measured occupancy
+    # decay (realtime FILL, 30-bounce config): live fraction is <1% from
+    # iteration ~6 but the while_loop still paid ~24 FULL-width
+    # iterations chasing rare delta chains — most of the realtime
+    # frame's stage-1 cost. Stage A runs full width until the live set
+    # fits in n//8 lanes (the cond guarantees no overflow), then the
+    # SAME body continues over the gathered survivors at narrow width
+    # and the results merge back positionally. The narrow program is a
+    # second trace of `body`, cached by jit like any other shape.
+    can_compact = (not regen and cfg.wavefront_sort == "none"
+                   and cfg.wavefront_compaction
+                   and n >= cfg.wavefront_compaction_min)
+    if can_compact:
+        n_small = max(n // 8, 1024)
+        k_min = 4
+
+        def cond_a(carry):
+            path, it = carry[0], carry[1]
+            live = jnp.sum(path.active.astype(jnp.int32))
+            return jnp.any(path.active) & (it < max_iters) & \
+                ((it < k_min) | (live > n_small))
+
+        carry = jax.lax.while_loop(cond_a, body, carry)
+        path_a, it_a, first_a, lane0_a, s_a, accum_a = carry
+        perm = jnp.argsort(~path_a.active, stable=True)[:n_small]
+        gath = lambda a: a[perm]
+        carry_n = (jax.tree_util.tree_map(gath, path_a), it_a,
+                   jax.tree_util.tree_map(gath, first_a),
+                   lane0_a[perm], s_a[perm], accum_a[perm])
+        path_n, _, first_n, _, _, _ = jax.lax.while_loop(cond, body,
+                                                         carry_n)
+        put = lambda full, nar: full.at[perm].set(nar)
+        path = jax.tree_util.tree_map(put, path_a, path_n)
+        first = jax.tree_util.tree_map(put, first_a, first_n)
+        lane0 = lane0_a      # the narrow loop never permutes (sort none)
+        accum = accum_a
+    else:
+        path, _, first, lane0, _, accum = jax.lax.while_loop(cond, body,
+                                                             carry)
 
     def unperm(a):
         return jnp.zeros_like(a).at[lane0].set(a)

@@ -77,3 +77,26 @@ def test_stable_plane_views_render():
             v, None, None, W, H, stable_planes=sp))
         assert img.shape == (H, W, 3), v
         assert np.isfinite(img).all(), v
+
+
+def test_debug_lines_overlay():
+    """Debug-line system (the reference's DebugLines.hlsl equivalent):
+    pick-pixel path lines project into the image and AABB wireframes
+    paint their edges."""
+    from rtxpt_tpu.utils import debuglines as DL
+    r = _setup()
+    cam = r.camera._replace(viewport=jnp.asarray([W, H], jnp.float32))
+    buf = DL.lines_for_path(r.assets, cam, W // 2, H // 2,
+                            max_bounces=2)
+    assert int(np.asarray(buf.count)) >= 3
+    img = jnp.zeros((H, W, 3))
+    out = np.asarray(DL.rasterize_overlay(img, buf, cam))
+    assert out.max() > 0.0          # something was painted
+    assert np.isfinite(out).all()
+    # AABB wireframe of the scene bounds paints too
+    buf2 = DL.add_aabb(DL.LineBuffer.empty(),
+                       np.asarray(r.scene.positions).min(0),
+                       np.asarray(r.scene.positions).max(0))
+    assert int(np.asarray(buf2.count)) == 12
+    out2 = np.asarray(DL.rasterize_overlay(img, buf2, cam))
+    assert out2.max() > 0.0

@@ -97,3 +97,34 @@ def test_glass_sphere_transmits_light():
     # glass sphere is at (1.3, 0.55, 0.9); with the default camera it's in
     # the right half of the frame; just assert global sanity here
     assert img.mean() > 0.01
+
+
+def _compaction_ab(w, h, threshold, **cfg_over):
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(w, h)
+    env = EM.bake_procedural_sky(height=32, sun_radiance=(40.0, 38.0, 33.0))
+    cfg = reference_config(max_bounces=4, nee_distant_samples=1,
+                           nee_local_samples=1,
+                           wavefront_compaction_min=threshold, **cfg_over)
+    a = np.asarray(Renderer(host, cam, cfg, env_radiance=env)
+                   .render(w, h, 1, jitter_aa=False))
+    cfg_nc = dataclasses.replace(cfg, wavefront_compaction=False)
+    b = np.asarray(Renderer(host, cam, cfg_nc, env_radiance=env)
+                   .render(w, h, 1, jitter_aa=False))
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_tail_compaction_equivalence():
+    """Wavefront tail compaction (live set gathered to n//8 lanes and
+    the bounce loop continued at narrow width) must not change the
+    image: same per-lane ops, same RNG streams, only the width of the
+    dispatch shrinks. Threshold lowered so the 64x48 wavefront crosses
+    it; spp=1 avoids regeneration (which disables compaction)."""
+    _compaction_ab(64, 48, threshold=1024)
+
+
+@pytest.mark.slow
+def test_tail_compaction_equivalence_production_width():
+    """Same A/B at the production threshold (128x128 = 16384 lanes)."""
+    _compaction_ab(128, 128, threshold=16384)
