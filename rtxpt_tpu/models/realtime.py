@@ -249,7 +249,9 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
     P = cfg.stable_plane_count
     sp = SPM.build_stable_planes(
         assets, cam, prev_cam, px, py, plane_count=P,
-        max_vertex_depth=cfg.max_stable_plane_vertex_depth)
+        max_vertex_depth=cfg.max_stable_plane_vertex_depth,
+        compaction=cfg.wavefront_compaction,
+        compaction_min=cfg.wavefront_compaction_min)
     dom = sp.dominant
 
     def dsel(arr):

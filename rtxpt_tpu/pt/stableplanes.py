@@ -167,7 +167,9 @@ def _bsdf_estimates(surf, bsdf):
 
 def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
                         px, py, *, plane_count: int = 3,
-                        max_vertex_depth: int = 6) -> StablePlanes:
+                        max_vertex_depth: int = 6,
+                        compaction: bool = True,
+                        compaction_min: int = 16384) -> StablePlanes:
     """BUILD pass: per-pixel delta-tree walk choosing up to plane_count
     stable vertices (PathTracerStablePlanes.hlsli:95-246).
 
@@ -219,13 +221,15 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
         stable_radiance=jnp.zeros((n, 3)))
     next_free = jnp.ones((n,), jnp.int32)   # slot 0 occupied
 
-    cur_xy = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)],
-                       -1)
+    cur_xy0 = jnp.stack([px.astype(jnp.float32),
+                         py.astype(jnp.float32)], -1)
 
     def store_plane(sp, slot_idx, lanes, branch, vertex, prim, bary,
                     ray_dir, scene_len, thp, interior, normal, rough,
-                    diff_e, spec_e, pos, is_sky):
-        """Masked write of plane `slot_idx` (static) for `lanes`."""
+                    diff_e, spec_e, pos, is_sky, cur_xy):
+        """Masked write of plane `slot_idx` (static) for `lanes`.
+        Width-agnostic: all lane args (incl. cur_xy) may be narrower
+        than the full wavefront when the compacted walk calls it."""
         w1 = lanes
         w2 = lanes[:, None]
         upd = lambda arr, val: arr.at[:, slot_idx].set(
@@ -275,7 +279,10 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
         def walk_body(carry):
             (origin, direction, thp, branch, interior, scene_len, vertex,
              walking, sp, q_origin, q_dir, q_thp, q_branch, q_interior,
-             q_scene_len, q_vertex, q_valid, next_free, it) = carry
+             q_scene_len, q_vertex, q_valid, next_free, cur_xy,
+             it) = carry
+            nb = origin.shape[0]   # width-agnostic: the compacted walk
+            #                        re-traces this body at narrow width
             hit = traverse.trace_closest(assets.bvh, assets.soup, origin,
                                          direction, active=walking,
                                          dense=assets.dense)
@@ -295,8 +302,8 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
             sp = store_plane(
                 sp, slot, missed, branch, vertex, hit.prim, hit.bary,
                 direction, scene_len, thp, interior, -direction,
-                jnp.ones((n,)), jnp.ones((n, 3)), jnp.ones((n, 3)),
-                origin + direction, jnp.ones((n,), bool))
+                jnp.ones((nb,)), jnp.ones((nb, 3)), jnp.ones((nb, 3)),
+                origin + direction, jnp.ones((nb,), bool), cur_xy)
 
             surf = shading.load_surface(assets.scene,
                                         jnp.maximum(hit.prim, 0), hit.bary,
@@ -428,7 +435,7 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
             sp = store_plane(
                 sp, slot, set_base, branch, vertex, hit.prim, hit.bary,
                 direction, scene_len, thp, interior, sd.n, rough, diff_e,
-                spec_e, sd.pos, jnp.zeros((n,), bool))
+                spec_e, sd.pos, jnp.zeros((nb,), bool), cur_xy)
 
             # step the chain along the reuse lobe
             stepping = can_continue
@@ -450,7 +457,7 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
             return (origin, direction, thp, branch, interior, scene_len,
                     vertex, walking, sp, q_origin, q_dir, q_thp, q_branch,
                     q_interior, q_scene_len, q_vertex, q_valid, next_free,
-                    it + 1)
+                    cur_xy, it + 1)
 
         def walk_cond(carry):
             return jnp.any(carry[7]) & (carry[-1] < max_vertex_depth)
@@ -462,11 +469,36 @@ def build_stable_planes(assets, cam: CameraData, prev_cam: CameraData,
         carry = (origin, direction, thp, branch, interior, scene_len,
                  vertex, walking, sp, q_origin, q_dir, q_thp, q_branch,
                  q_interior, q_scene_len, q_vertex, q_valid, next_free,
-                 jnp.asarray(0, jnp.int32))
-        carry = jax.lax.while_loop(walk_cond, walk_body, carry)
+                 cur_xy0, jnp.asarray(0, jnp.int32))
+        if compaction and n >= compaction_min:
+            # ---- tail compaction (same scheme as render_paths): delta
+            # chains collapse occupancy after the first segment (slot 0)
+            # or start near-empty (forked slots 1..P-1), yet each
+            # full-width iteration pays trace+shade over all n lanes.
+            # Stage A runs full width only while the live set exceeds
+            # n//8; the walk then continues over the gathered survivors
+            # and scatters back positionally.
+            n_small = max(n // 8, 1024)
+
+            def walk_cond_a(c):
+                live = jnp.sum(c[7].astype(jnp.int32))
+                return walk_cond(c) & (live > n_small)
+
+            carry = jax.lax.while_loop(walk_cond_a, walk_body, carry)
+            perm = jnp.argsort(~carry[7], stable=True)[:n_small]
+            lane = lambda a: (hasattr(a, "ndim") and a.ndim >= 1
+                              and a.shape[0] == n)
+            carry_n = jax.tree_util.tree_map(
+                lambda a: a[perm] if lane(a) else a, carry)
+            carry_n = jax.lax.while_loop(walk_cond, walk_body, carry_n)
+            carry = jax.tree_util.tree_map(
+                lambda full, nar: full.at[perm].set(nar)
+                if lane(full) else nar, carry, carry_n)
+        else:
+            carry = jax.lax.while_loop(walk_cond, walk_body, carry)
         (origin, direction, thp, branch, interior, scene_len, vertex,
          walking, sp, q_origin, q_dir, q_thp, q_branch, q_interior,
-         q_scene_len, q_vertex, q_valid, next_free, _) = carry
+         q_scene_len, q_vertex, q_valid, next_free, _, _) = carry
 
         # chain ran out of depth: force-store whatever we were on (the
         # reference clamps via maxStablePlaneVertexDepth the same way)

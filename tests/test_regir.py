@@ -96,7 +96,8 @@ def test_regir_onion_grid_populated():
     lo = jnp.min(r.scene.positions, axis=0) - 1e-3
     hi = jnp.max(r.scene.positions, axis=0) + 1e-3
     grid = RG.build_regir(r.lights, r.scene.positions, r.scene.indices,
-                          lo, hi, 0, layout="onion", center=cam.pos)
+                          lo, hi, 0, dims=4, per_cell=4, candidates=8,
+                          layout="onion", center=cam.pos)
     assert grid.onion_layers > 0
     w = np.asarray(grid.w)
     assert (w > 0).mean() > 0.15

@@ -195,3 +195,55 @@ def test_glass_secondary_surface_denoises():
     var_raw = raw[reg].std()
     assert np.isfinite(den).all()
     assert var_den < 0.6 * var_raw, (var_den, var_raw)
+
+
+def _stable_compaction_ab(base, frames=1):
+    """Render `frames` stable-planes frames with tail compaction on vs
+    off; images must match (same per-lane math, narrower dispatches)."""
+    import dataclasses
+    w, h = 64, 48
+    host = _glass_wall_scene()
+    cam = _camera(w, h)
+    imgs = []
+    for on in (True, False):
+        cfg = dataclasses.replace(base, wavefront_compaction=on)
+        rt = RealtimeRenderer(host, cam, cfg)
+        img = rt.render_frame(w, h)
+        for _ in range(frames - 1):
+            img = rt.render_frame(w, h)
+        imgs.append(np.asarray(img))
+    assert np.isfinite(imgs[0]).all()
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_build_walk_compaction_equivalence():
+    """The BUILD delta-walk's tail compaction (narrow continuation of
+    each slot's while_loop) must produce bit-identical stable planes.
+    Slow tier: tracing the 3-slot walk twice per config costs ~2 min of
+    CPU compile; the fast tier's render_paths compaction gate covers
+    the shared two-stage machinery."""
+    w, h = 64, 48
+    host = _glass_wall_scene()
+    cam = _camera(w, h)
+    r = Renderer(host, cam, reference_config(max_bounces=4))
+    px, py = np.meshgrid(np.arange(w, dtype=np.uint32),
+                         np.arange(h, dtype=np.uint32))
+    px = jnp.asarray(px.reshape(-1))
+    py = jnp.asarray(py.reshape(-1))
+    sps = [SP.build_stable_planes(r.assets, cam, cam, px, py,
+                                  plane_count=3, max_vertex_depth=4,
+                                  compaction=on, compaction_min=1024)
+           for on in (True, False)]
+    for a, b in zip(sps[0], sps[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_stable_frame_compaction_equivalence_full_pipeline():
+    """Full-pipeline A/B (DI+GI+denoise+TAA, history frame included)."""
+    _stable_compaction_ab(realtime_config(
+        use_restir_di=True, use_restir_gi=True, denoiser_enabled=True,
+        use_stable_planes=True, wavefront_compaction_min=1024),
+        frames=2)
