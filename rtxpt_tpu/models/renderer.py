@@ -326,6 +326,13 @@ class Renderer:
         self.scene, self.bvh = refresh_skinned(
             self.host_scene, info, self.scene, self.bvh, time,
             animation_index)
+        if self.dense is not None:
+            # dense-MT planes hold baked triangle coefficients — refresh
+            # on device or the tracer intersects the rest pose
+            from ..ops import mt_dense
+            self.dense = mt_dense.refresh_dense(
+                self.dense, self.scene.positions, self.scene.indices)
+            self.assets = self.assets._replace(dense=self.dense)
         if self.lights is not None:
             # re-bake packed emissive-triangle verts from the skinned
             # positions (light side of Scene::Refresh)

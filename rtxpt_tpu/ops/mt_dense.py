@@ -84,9 +84,9 @@ class DenseMT:
         self.weights = weights        # (NC*RC, 16) f32; RC = (4|5)*CLUSTER
         self.aabb = aabb              # (NC, 6) f32 cluster min.xyz max.xyz
         self.tri_ids = tri_ids        # (NC*CLUSTER,) i32 original ids
-        self.tri9 = tri9              # (NC*CLUSTER, 9) f32 recentered
-        #                               (p0, e1, e2) for the exact
-        #                               post-kernel winner re-solve
+        self.tri9 = tri9              # (NC*CLUSTER, 10) f32 recentered
+        #                               (p0, e1, e2, orig_id) for the
+        #                               exact post-kernel winner re-solve
         self.tri9_gp = tri9_gp        # GatherPlanes of tri9 (MXU gather)
         self.center = center          # (3,) f32 recenter point
         self.num_clusters = num_clusters
@@ -178,11 +178,16 @@ def build_dense(positions, indices, tri_omm=None) -> DenseMT:
 
     # recentered (p0, e1, e2) per SLOT for the exact winner re-solve
     # (the kernel only selects the winning triangle; t/u/v come from a
-    # full-precision MT solve against this table)
-    tri9 = np.zeros((t_pad, 9), np.float32)
+    # full-precision MT solve against this table). Column 9 carries the
+    # original triangle id as f32 (exact below 2^24) so the winner
+    # remap rides the same MXU gather — the XLA scalar gather it
+    # replaces ran at ~1.8 GB/s (round-3 device trace, ~3 ms/bounce)
+    tri9 = np.full((t_pad, 10), -1.0, np.float32)
+    tri9[:, 0:9] = 0.0
     tri9[slot, 0:3] = p0a
     tri9[slot, 3:6] = e1a
     tri9[slot, 6:9] = e2a
+    tri9[slot, 9] = order.astype(np.float32)
     from . import gather_pallas as GPL
     tri9_gp = GPL.pack_f32(tri9) if GPL.supported(t_pad) else None
     return DenseMT(
@@ -193,6 +198,74 @@ def build_dense(positions, indices, tri_omm=None) -> DenseMT:
         tri9_gp=tri9_gp,
         center=jnp.asarray(center.astype(np.float32)),
         num_clusters=nc, has_omm=has_omm)
+
+
+@jax.jit
+def refresh_dense(dense: DenseMT, positions, indices) -> DenseMT:
+    """Device-side (jnp) refresh of the MT coefficient planes, cluster
+    AABBs and re-solve rows from deformed positions — the per-frame
+    skinned-BLAS update (RTXPT Sample.cpp:1355-1380). Keeps the
+    build-time morton triangle order, padding and recenter origin, so
+    only per-triangle numeric content changes."""
+    ids = dense.tri_ids                              # (t_pad,) i32
+    t_pad = ids.shape[0]
+    nc = dense.num_clusters
+    rc = dense.rc
+    has_omm = dense.has_omm
+    center = dense.center
+    valid = ids >= 0
+    tri = indices[jnp.maximum(ids, 0)]               # (t_pad, 3)
+    p0w = positions[tri[:, 0]]
+    p0 = jnp.where(valid[:, None], p0w - center, 0.0)
+    e1 = jnp.where(valid[:, None], positions[tri[:, 1]] - p0w, 0.0)
+    e2 = jnp.where(valid[:, None], positions[tri[:, 2]] - p0w, 0.0)
+
+    def cross_mats(v):                               # (t,3,3) [v]x
+        zero = jnp.zeros((t_pad,))
+        return jnp.stack([
+            jnp.stack([zero, -v[:, 2], v[:, 1]], -1),
+            jnp.stack([v[:, 2], zero, -v[:, 0]], -1),
+            jnp.stack([-v[:, 1], v[:, 0], zero], -1)], 1)
+
+    ce1, ce2 = cross_mats(e1), cross_mats(e2)
+    nrm = jnp.cross(e1, e2)
+    # channel rows laid out (nc, chans, CLUSTER, 16) -> (nc*rc, 16)
+    chans = 5 if has_omm else 4
+    w = jnp.zeros((t_pad, chans, 16))
+    w = w.at[:, 0, 9:12].set(jnp.cross(e2, e1))
+    w = w.at[:, 1, 0:9].set((-ce2).reshape(t_pad, 9))
+    w = w.at[:, 1, 9:12].set(jnp.einsum("ti,tij->tj", p0, ce2))
+    w = w.at[:, 2, 0:9].set(
+        (-jnp.swapaxes(ce1, 1, 2)).reshape(t_pad, 9))
+    w = w.at[:, 2, 9:12].set(jnp.einsum("tij,tj->ti", ce1, p0))
+    w = w.at[:, 3, 12:15].set(nrm)
+    w = w.at[:, 3, 15].set(-jnp.einsum("ti,ti->t", p0, nrm))
+    if has_omm:
+        # OMM masks live in the old weights at channel 4 col 15; they
+        # are pose-invariant, so copy them through
+        old = dense.weights.reshape(nc, chans, CLUSTER, 16)
+        w = w.reshape(nc, CLUSTER, chans, 16).swapaxes(1, 2)
+        w = w.at[:, 4, :, 15].set(old[:, 4, :, 15])
+    else:
+        w = w.reshape(nc, CLUSTER, chans, 16).swapaxes(1, 2)
+    weights = w.reshape(nc * rc, 16).astype(jnp.float32)
+
+    pts = jnp.stack([p0, p0 + e1, p0 + e2], 1) + center   # (t_pad,3,3)
+    # padding lanes repeat the last real triangle like the host build
+    last = jnp.max(jnp.where(valid, jnp.arange(t_pad), 0))
+    pts = jnp.where(valid[:, None, None], pts, pts[last])
+    pc = pts.reshape(nc, CLUSTER * 3, 3)
+    aabb = jnp.concatenate([pc.min(1), pc.max(1)], -1).astype(
+        jnp.float32)
+
+    tri9 = jnp.concatenate([p0, e1, e2, ids[:, None].astype(jnp.float32)],
+                           -1).astype(jnp.float32)
+    from . import gather_pallas as GPL
+    tri9_gp = GPL.pack_f32_device(tri9) \
+        if dense.tri9_gp is not None else None
+    return DenseMT(weights=weights, aabb=aabb, tri_ids=ids, tri9=tri9,
+                   tri9_gp=tri9_gp, center=center, num_clusters=nc,
+                   has_omm=has_omm)
 
 
 # ---------------------------------------------------------------------------
@@ -498,7 +571,7 @@ def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     safe = jnp.maximum(slot, 0)
     if dmt.tri9_gp is not None and not interpret:
         from . import gather_pallas as GPL
-        tri9 = GPL.gather_rows(dmt.tri9_gp, safe)       # (N,9) f32
+        tri9 = GPL.gather_rows(dmt.tri9_gp, safe)       # (N,10) f32
     else:
         tri9 = dmt.tri9[safe]
     oc = origins - dmt.center[None, :]
@@ -517,7 +590,9 @@ def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     t = jnp.where(found, t_e, t_q)
     uv = jnp.where(found[..., None],
                    jnp.stack([u, v], axis=-1), 0.0)
-    prim = jnp.where(found, dmt.tri_ids[safe], -1)
+    # winner id from the gathered row (f32-exact below 2^24)
+    prim = jnp.where(found,
+                     jnp.round(tri9[..., 9]).astype(jnp.int32), -1)
     return Hit(t, prim, uv)
 
 

@@ -136,21 +136,33 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
     w = jnp.stack([1.0 - bary[..., 0] - bary[..., 1],
                    bary[..., 0], bary[..., 1]], axis=-1)  # (N,3)
 
-    if use_mxu:
-        vp = GPL.gather_rows(scene.vert_gp, tri)    # (N,3,12)
+    if use_mxu and scene.tri_geom_gp is not None:
+        # fused barycentric gather: one kernel produces the interpolated
+        # attribute row; the per-triangle constants (face normal, uv /
+        # world areas) come from the tri_geom table instead of raw
+        # vertex rows (round-3 device trace: the gather(3n rows) ->
+        # transpose -> reshape -> mul -> reduce chain was ~12 ms/bounce)
+        vi = GPL.gather_rows_interp(scene.vert_gp, tri, w)   # (N,12)
+        geom = GPL.gather_rows(scene.tri_geom_gp, prim)      # (N,5)
+        face_n = geom[..., 0:3]
+        uv_area_raw = geom[..., 3]
+        world_area = geom[..., 4]
+        vp = None
     else:
         vp = scene.vert_pack[tri]                   # (N,3,12)
-    vi = jnp.sum(vp * w[..., None], axis=-2)        # interpolated (N,12)
+        vi = jnp.sum(vp * w[..., None], axis=-2)    # interpolated (N,12)
+        p0 = vp[:, 0, 0:3]
+        p1 = vp[:, 1, 0:3]
+        p2 = vp[:, 2, 0:3]
+        cr = jnp.cross(p1 - p0, p2 - p0)
+        face_n = mu.safe_normalize(cr)
+        world_area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+        uv_area_raw = None                          # from raw uvs below
 
     pos = vi[..., 0:3]
     nrm = mu.safe_normalize(vi[..., 3:6])
     tan = vi[..., 6:10]
     uv = vi[..., 10:12]
-
-    p0 = vp[:, 0, 0:3]
-    p1 = vp[:, 1, 0:3]
-    p2 = vp[:, 2, 0:3]
-    face_n = mu.safe_normalize(jnp.cross(p1 - p0, p2 - p0))
 
     v = -ray_dir
     front_facing = jnp.sum(face_n * v, axis=-1) >= 0.0
@@ -202,15 +214,17 @@ def load_surface(scene: SceneArrays, prim, bary, ray_dir,
         uv_nm = slot_uv(uv, ST.UV_SLOT_NORMAL)
         uv_mr = slot_uv(uv, ST.UV_SLOT_MR)
         uv_em = slot_uv(uv, ST.UV_SLOT_EMISSIVE)
-        uv0 = slot_uv(vp[:, 0, 10:12], ST.UV_SLOT_BASE)
-        uv1 = slot_uv(vp[:, 1, 10:12], ST.UV_SLOT_BASE)
-        uv2 = slot_uv(vp[:, 2, 10:12], ST.UV_SLOT_BASE)
-        e1uv = uv1 - uv0
-        e2uv = uv2 - uv0
-        uv_area = 0.5 * jnp.abs(e1uv[..., 0] * e2uv[..., 1]
-                                - e1uv[..., 1] * e2uv[..., 0])
-        world_area = 0.5 * jnp.linalg.norm(
-            jnp.cross(p1 - p0, p2 - p0), axis=-1)
+        if uv_area_raw is None:
+            u0 = vp[:, 0, 10:12]
+            e1uv = vp[:, 1, 10:12] - u0
+            e2uv = vp[:, 2, 10:12] - u0
+            uv_area_raw = 0.5 * jnp.abs(e1uv[..., 0] * e2uv[..., 1]
+                                        - e1uv[..., 1] * e2uv[..., 0])
+        # the base-slot affine scales uv areas by |det| (translation
+        # drops out), so the raw per-tri area is pose/slot-invariant
+        ab = mrow[..., ST.MP_UV_AFFINE:ST.MP_UV_AFFINE + 4]
+        uv_area = uv_area_raw * jnp.abs(ab[..., 0] * ab[..., 3]
+                                        - ab[..., 1] * ab[..., 2])
         if cone_width is not None:
             cos_t = jnp.sum(face_n * v, axis=-1)
             lod = TX.ray_cone_lod(cone_width, cos_t, uv_area, world_area)

@@ -91,6 +91,9 @@ class RISTiles(NamedTuple):
     light: jnp.ndarray     # (TILES*SIZE,) i32 (LIGHT_ENV for env entries)
     uv: jnp.ndarray        # (TILES*SIZE, 2)
     inv_pdf: jnp.ndarray   # (TILES*SIZE,) 1/src_pdf (0 = invalid entry)
+    pack: jnp.ndarray      # (TILES*SIZE, 4) [light, u, v, inv_pdf] —
+    #   one multi-column row gather per candidate (XLA single-column
+    #   gathers run ~30x slower on the chip; round-3 device trace)
     tiles: int
     size: int
 
@@ -158,8 +161,10 @@ def presample_lights(assets, sample_index, tiles: int = 32,
     light = jnp.where(is_env, LIGHT_ENV, l_light)
     uv = jnp.where(is_env[..., None], e_uv, l_uv)
     inv_pdf = jnp.where(is_env, e_inv, l_inv)
-    return RISTiles(light=light, uv=uv, inv_pdf=inv_pdf, tiles=tiles,
-                    size=size)
+    pack = jnp.concatenate([light.astype(jnp.float32)[:, None], uv,
+                            inv_pdf[:, None]], axis=-1)
+    return RISTiles(light=light, uv=uv, inv_pdf=inv_pdf, pack=pack,
+                    tiles=tiles, size=size)
 
 
 def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
@@ -184,9 +189,10 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
             g, u2 = rng.next_2d(g, allow_ld=False)
             entry = tile + jnp.minimum((u2[..., 0] * ris.size
                                         ).astype(jnp.int32), ris.size - 1)
-            light = ris.light[entry]
-            uv = ris.uv[entry]
-            inv_pdf = ris.inv_pdf[entry]
+            row = ris.pack[entry]                       # (N,4) one fetch
+            light = jnp.round(row[..., 0]).astype(jnp.int32)
+            uv = row[..., 1:3]
+            inv_pdf = row[..., 3]
             p_hat, _, _, _, _ = eval_target(assets, gb, light, uv)
             w = p_hat * inv_pdf
             r = update(r, light, uv, w, p_hat, u2[..., 1])

@@ -227,7 +227,18 @@ def refresh_skinned(host: dict, info: dict, scene, bvh8, time: float,
         if vert_pack is not None:
             vert_pack = vert_pack.at[s:s + c, 0:3].set(p)
             vert_pack = vert_pack.at[s:s + c, 3:6].set(n)
+    from .types import tri_geom_pack as _tg
+    tri_geom = _tg(positions, scene.uvs, scene.indices, jnp) \
+        if scene.tri_geom_pack is not None else None
     scene = scene._replace(positions=positions, normals=normals,
-                           vert_pack=vert_pack)
+                           vert_pack=vert_pack, tri_geom_pack=tri_geom)
+    if scene.vert_gp is not None:
+        # the MXU gather planes are derived data — refresh them or
+        # load_surface shades the REST pose after skinning
+        from ..ops import gather_pallas as GPL
+        scene = scene._replace(
+            vert_gp=GPL.pack_f32_device(vert_pack),
+            tri_geom_gp=(GPL.pack_f32_device(tri_geom)
+                         if tri_geom is not None else None))
     bvh8 = refit_bvh8(bvh8, positions, scene.indices)
     return scene, bvh8

@@ -236,13 +236,14 @@ def to_device(host: dict, textures=None) -> SceneArrays:
     # jnp API would be eager per-op dispatches on the TPU tunnel)
     mt_np = MaterialTable(**{k: _np.asarray(v)
                              for k, v in host["materials"].items()})
-    vp, tp, mp = pack_gather_planes(
+    vp, tp, tg, mp = pack_gather_planes(
         _np.asarray(host["positions"]), _np.asarray(host["normals"]),
         _np.asarray(host["tangents"]), _np.asarray(host["uvs"]),
         _np.asarray(host["indices"]), _np.asarray(host["tri_mat"]), mt_np)
     from ..ops import gather_pallas as GP
     vert_gp = GP.pack_f32(vp) if GP.supported(vp.shape[0]) else None
     tri_gp = GP.pack_i32(tp) if GP.supported(tp.shape[0]) else None
+    tri_geom_gp = GP.pack_f32(tg) if GP.supported(tg.shape[0]) else None
     mat_gp = GP.pack_f32(mp) if GP.supported(mp.shape[0]) else None
     return SceneArrays(
         positions=jnp.asarray(host["positions"]),
@@ -256,6 +257,8 @@ def to_device(host: dict, textures=None) -> SceneArrays:
         textures=textures,
         vert_pack=jnp.asarray(vp),
         tri_pack=jnp.asarray(tp),
+        tri_geom_pack=jnp.asarray(tg),
         mat_pack=jnp.asarray(mp),
-        vert_gp=vert_gp, tri_gp=tri_gp, mat_gp=mat_gp,
+        vert_gp=vert_gp, tri_gp=tri_gp, tri_geom_gp=tri_geom_gp,
+        mat_gp=mat_gp,
     )

@@ -274,6 +274,11 @@ def pdf_mip_descent(env: EnvMap, d):
     h, w = env.height, env.width
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    if env.alias_pack is not None:
+        # pdf_self rides the 10-col alias row: XLA's multi-column row
+        # gather sustains ~60 GB/s where the single-column gather of
+        # pdf_flat ran at ~1.8 GB/s (round-3 device trace, ~3 ms/bounce)
+        return env.alias_pack[y * w + x][..., 2]
     if env.pdf_flat is not None:
         return env.pdf_flat[y * w + x]
     return env.mips[-1][y, x] / (env.total *

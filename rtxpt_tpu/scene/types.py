@@ -91,12 +91,15 @@ class SceneArrays(NamedTuple):
     # table instead of ~20 narrow gathers (ROADMAP item 4).
     vert_pack: Optional[jnp.ndarray] = None   # (V,12) pos3 nrm3 tan4 uv2
     tri_pack: Optional[jnp.ndarray] = None    # (T,4) i32 idx0..2, mat
+    tri_geom_pack: Optional[jnp.ndarray] = None  # (T,5) f32 face_n3,
+    #   raw uv_area, world_area (constants the interp gather can't blend)
     mat_pack: Optional[jnp.ndarray] = None    # (M,20) f32, see layout
     # MXU one-hot gather planes of the packed tables (ops/gather_pallas):
     # on TPU, XLA row gathers run at ~1.5 GB/s, so load_surface fetches
     # rows via one-hot matmuls against these instead
     vert_gp: Optional[object] = None          # GatherPlanes of vert_pack
     tri_gp: Optional[object] = None           # GatherPlanes of tri_pack
+    tri_geom_gp: Optional[object] = None      # GatherPlanes of tri_geom
     mat_gp: Optional[object] = None           # GatherPlanes of mat_pack
 
     @property
@@ -142,6 +145,7 @@ def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
         [positions, normals, tangents, uvs], axis=-1)        # (V,12)
     tri_pack = xp.concatenate(
         [indices, tri_mat[:, None]], axis=-1)                # (T,4)
+    tri_geom = tri_geom_pack(positions, uvs, indices, xp)
     m = materials
     mat_pack = xp.concatenate([
         m.base_color,
@@ -161,7 +165,30 @@ def pack_gather_planes(positions, normals, tangents, uvs, indices, tri_mat,
         _effective_uv_affine(m, xp),
         m.specular_factor[:, None],
     ], axis=-1)                                              # (M,46)
-    return vert_pack, tri_pack, mat_pack
+    return vert_pack, tri_pack, tri_geom, mat_pack
+
+
+def tri_geom_pack(positions, uvs, indices, xp=None):
+    """(T,5) per-triangle constants [face_n(3), raw uv_area,
+    world_area]: what load_surface needs beyond barycentric-blendable
+    vertex attributes. Recomputed on device after skinning (face
+    normal/area follow the pose; uv_area is pose-invariant)."""
+    if xp is None:
+        xp = np if isinstance(positions, np.ndarray) else jnp
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    cr = xp.cross(p1 - p0, p2 - p0)
+    ln = xp.linalg.norm(cr, axis=-1, keepdims=True)
+    fn = cr / xp.maximum(ln, 1e-20)
+    world_area = 0.5 * ln[:, 0]
+    u0 = uvs[indices[:, 0]]
+    e1 = uvs[indices[:, 1]] - u0
+    e2 = uvs[indices[:, 2]] - u0
+    uv_area = 0.5 * xp.abs(e1[..., 0] * e2[..., 1]
+                           - e1[..., 1] * e2[..., 0])
+    return xp.concatenate([fn, uv_area[:, None], world_area[:, None]],
+                          axis=-1)
 
 
 def _effective_uv_affine(m, xp):
