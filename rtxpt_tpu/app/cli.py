@@ -68,6 +68,15 @@ def build_arg_parser():
     p.add_argument("--checkpoint", default=None,
                    help="accumulation checkpoint file (.npz): resumes if "
                    "it exists, saves on exit (reference-mode only)")
+    p.add_argument("--animate-time", type=float, default=None,
+                   help="pose glTF animations at this time (seconds) "
+                   "before rendering (reference mode; SampleUI's "
+                   "animation scrubber)")
+    p.add_argument("--animate", action="store_true",
+                   help="realtime mode: advance glTF animations every "
+                   "frame at --animate-fps")
+    p.add_argument("--animate-fps", type=float, default=60.0)
+    p.add_argument("--animation-index", type=int, default=0)
     return p
 
 
@@ -91,7 +100,7 @@ def load_scene(args):
             host["texture_srgb"] = cam_info.get("texture_srgb")
         cam = gltf.camera_from_info(cam_info, args.width, args.height)
         extra = dict(analytic_lights=gltf.analytic_lights_from_info(
-            cam_info))
+            cam_info), anim_info=cam_info)
         return host, cam, extra
     if args.scene.endswith(".json"):
         from ..scene import scene_json
@@ -100,7 +109,8 @@ def load_scene(args):
     raise SystemExit(f"unknown scene: {args.scene}")
 
 
-def _run_realtime(args, host, cam, env, frames: int) -> int:
+def _run_realtime(args, host, cam, env, frames: int,
+                  anim_info=None) -> int:
     """Real-time mode: run `frames` frames of the 1spp + ReSTIR DI +
     denoise + TAA pipeline, save the last frame (the reference's
     --screenshotFrameIndex contract with denoiser warm-up)."""
@@ -134,6 +144,10 @@ def _run_realtime(args, host, cam, env, frames: int) -> int:
     times = [t0]
     img = None
     for i in range(max(frames, 1)):
+        if args.animate and anim_info is not None:
+            # per-frame animation tick (DeviceManager Animate+Render)
+            r.animate(anim_info, i / args.animate_fps,
+                      args.animation_index)
         taa_on = args.preset != "ref-vs-realtime"
         img = r.render_frame(args.width, args.height, taa=taa_on)
         jax.block_until_ready(img)
@@ -196,11 +210,17 @@ def main(argv=None) -> int:
         spp = args.screenshot_frame_index
 
     if args.mode == "realtime":
-        return _run_realtime(args, host, cam, env, spp)
+        return _run_realtime(args, host, cam, env, spp,
+                             anim_info=extra.get("anim_info"))
 
     r = Renderer(host, cam, cfg, env_radiance=env,
                  analytic_lights=analytic,
                  env_intensity=extra.get("env_intensity", 1.0))
+
+    if args.animate_time is not None and extra.get("anim_info"):
+        # pose skinned + rigid-node animations (Scene::Refresh) at T
+        r.animate(extra["anim_info"], args.animate_time,
+                  args.animation_index)
 
     if args.debug_view:
         from ..utils import debugviews

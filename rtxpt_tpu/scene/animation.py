@@ -227,6 +227,42 @@ def refresh_skinned(host: dict, info: dict, scene, bvh8, time: float,
         if vert_pack is not None:
             vert_pack = vert_pack.at[s:s + c, 0:3].set(p)
             vert_pack = vert_pack.at[s:s + c, 3:6].set(n)
+
+    # rigid node animation: re-flatten the vertex range of any instance
+    # whose source node transform moved (donut SceneGraph transform
+    # refresh; RTXPT per-frame TLAS rebuild, Sample.cpp:1353-1421). The
+    # transform happens in host numpy (cheap: V*10 floats) and uploads
+    # as one .set per moved instance.
+    moved = []
+    for b in host.get("rigid_bindings", []):
+        xf = np.asarray(world[b["node"]], np.float32)
+        if np.allclose(xf, b["baked_transform"], atol=1e-7):
+            continue
+        moved.append((b["instance"], xf))
+        lin = xf[:, :3]
+        p = b["rest_positions"] @ lin.T + xf[:, 3]
+        nrm_m = np.linalg.inv(lin).T
+        n = b["rest_normals"] @ nrm_m.T
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        t = b["rest_tangents"].copy()
+        t[:, :3] = t[:, :3] @ lin.T
+        t[:, :3] /= np.maximum(
+            np.linalg.norm(t[:, :3], axis=-1, keepdims=True), 1e-20)
+        p = p.astype(np.float32)
+        n = n.astype(np.float32)
+        s, c = b["vertex_start"], b["vertex_count"]
+        positions = positions.at[s:s + c].set(p)
+        normals = normals.at[s:s + c].set(n)
+        if vert_pack is not None:
+            vert_pack = vert_pack.at[s:s + c, 0:3].set(p)
+            vert_pack = vert_pack.at[s:s + c, 3:6].set(n)
+            vert_pack = vert_pack.at[s:s + c, 6:10].set(t)
+        inst = host.get("instancing")
+        if inst is not None:
+            # keep the retained instance table in sync so instanced-TLAS
+            # consumers (ops/instanced.set_instance_transform) and later
+            # rebuilds see the animated pose
+            inst["transforms"][b["instance"]] = xf
     from .types import tri_geom_pack as _tg
     tri_geom = _tg(positions, scene.uvs, scene.indices, jnp) \
         if scene.tri_geom_pack is not None else None
@@ -240,5 +276,18 @@ def refresh_skinned(host: dict, info: dict, scene, bvh8, time: float,
             vert_gp=GPL.pack_f32_device(vert_pack),
             tri_geom_gp=(GPL.pack_f32_device(tri_geom)
                          if tri_geom is not None else None))
-    bvh8 = refit_bvh8(bvh8, positions, scene.indices)
+    if hasattr(bvh8, "refit_info") and bvh8.refit_info is not None:
+        bvh8 = refit_bvh8(bvh8, positions, scene.indices)
+    elif hasattr(bvh8, "inst_inv"):
+        # instanced TLAS: rigid motion is a row update, no BLAS touch
+        # (RTXPT per-frame TLAS build over static BLASes)
+        from ..ops.instanced import set_instance_transform
+        for iid, xf in moved:
+            bvh8 = set_instance_transform(bvh8, host["instancing"],
+                                          iid, xf)
+    elif moved or host.get("skin_bindings"):
+        import warnings
+        warnings.warn("animated geometry over a BVH type without a "
+                      "refit path (two-level soup): acceleration "
+                      "structure is stale this frame")
     return scene, bvh8

@@ -33,6 +33,8 @@ class Instance:
     transform: np.ndarray            # (3,4) affine, row-major
     material_override: int = -1
     skin: int = -1                   # skin id (scene/gltf skins list)
+    node: int = -1                   # source scene-graph node (rigid
+    #                                  animation retargets this instance)
 
 
 def compute_vertex_normals(positions: np.ndarray,
@@ -104,12 +106,13 @@ class SceneBuilder:
         return len(self.meshes) - 1
 
     def add_instance(self, mesh: int, transform: Optional[np.ndarray] = None,
-                     material_override: int = -1, skin: int = -1) -> int:
+                     material_override: int = -1, skin: int = -1,
+                     node: int = -1) -> int:
         if transform is None:
             transform = np.eye(3, 4, dtype=np.float32)
         self.instances.append(Instance(mesh, np.asarray(transform,
                                                         np.float32),
-                                       material_override, skin))
+                                       material_override, skin, node))
         return len(self.instances) - 1
 
     def finish(self) -> dict:
@@ -118,6 +121,7 @@ class SceneBuilder:
         pos_l, nrm_l, tan_l, uv_l, idx_l, mat_l, inst_l = \
             [], [], [], [], [], [], []
         skin_bindings = []
+        rigid_bindings = []
         voffset = 0
         for iid, inst in enumerate(self.instances):
             m = self.meshes[inst.mesh]
@@ -168,6 +172,32 @@ class SceneBuilder:
                         np.float32),
                     joints=np.asarray(m.joints, np.int32),
                     weights=np.asarray(m.weights, np.float32)))
+            elif inst.node >= 0:
+                # rigid instance rooted at a scene-graph node: remember
+                # the object-space rest geometry + baked transform so a
+                # node-TRS animation can re-flatten just this vertex
+                # range per frame (donut SceneGraph transform refresh,
+                # SceneGraph.cpp; RTXPT rebuilds the TLAS row instead —
+                # the flattened path re-bakes the range)
+                rest_n = (m.normals if m.normals is not None else
+                          compute_vertex_normals(m.positions, m.indices))
+                if m.tangents is not None:
+                    rest_t = np.asarray(m.tangents, np.float32)
+                else:
+                    rest_uv = (m.uvs if m.uvs is not None else
+                               np.zeros((m.positions.shape[0], 2),
+                                        np.float32))
+                    rest_t = compute_tangents(
+                        np.asarray(m.positions, np.float32),
+                        np.asarray(rest_n, np.float32), rest_uv,
+                        m.indices)
+                rigid_bindings.append(dict(
+                    instance=iid, node=inst.node,
+                    vertex_start=voffset, vertex_count=p.shape[0],
+                    baked_transform=np.asarray(xf, np.float32).copy(),
+                    rest_positions=np.asarray(m.positions, np.float32),
+                    rest_normals=np.asarray(rest_n, np.float32),
+                    rest_tangents=np.asarray(rest_t, np.float32)))
             voffset += p.shape[0]
 
         mats = {k: np.stack(v) if np.ndim(v[0]) else np.array(v)
@@ -222,6 +252,7 @@ class SceneBuilder:
             else np.zeros((0,), np.int32),
             materials=mats,
             skin_bindings=skin_bindings,
+            rigid_bindings=rigid_bindings,
         )
 
 

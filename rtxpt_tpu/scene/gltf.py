@@ -301,7 +301,7 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
                     # (donut SkinnedMeshInstance semantics)
                     sb.add_instance(mesh_id, None, skin=skin)
                 else:
-                    sb.add_instance(mesh_id, xf)
+                    sb.add_instance(mesh_id, xf, node=ni)
         if "camera" in node:
             cameras.append((g["cameras"][node["camera"]], xf))
         ext = node.get("extensions", {}).get("KHR_lights_punctual")
