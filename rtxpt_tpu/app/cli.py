@@ -94,7 +94,9 @@ def load_scene(args):
         return host, cam, None
     if args.scene.endswith((".gltf", ".glb")):
         from ..scene import gltf
-        host, cam_info = gltf.load_gltf(args.scene)
+        from ..scene.texcache import TextureCache
+        host, cam_info = gltf.load_gltf(args.scene,
+                                        texture_cache=TextureCache())
         if cam_info.get("textures"):
             host["texture_images"] = cam_info["textures"]
             host["texture_srgb"] = cam_info.get("texture_srgb")

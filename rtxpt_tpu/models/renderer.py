@@ -62,11 +62,11 @@ class Renderer:
         self.cfg = cfg or reference_config()
         self.camera = camera
         self.host_scene = host_scene
-        if textures is None and host_scene.get("texture_images"):
-            from ..scene.textures import build_texture_stack
-            textures = build_texture_stack(
-                host_scene["texture_images"],
-                srgb=host_scene.get("texture_srgb"))
+        # texture-stack build is deferred to the END of __init__: with
+        # async decode (scene/texcache.py) the image list holds futures
+        # that keep decoding on the pool while the BVH/dense builds run
+        build_textures_late = (textures is None
+                               and bool(host_scene.get("texture_images")))
         self.scene = to_device(host_scene, textures=textures)
         self.bvh2 = bvh_mod.build_bvh(host_scene["positions"],
                                       host_scene["indices"],
@@ -137,6 +137,12 @@ class Renderer:
             self.dense = mt_dense.build_dense(
                 host_scene["positions"], host_scene["indices"],
                 tri_omm=tri_omm)
+        if build_textures_late:
+            from ..scene.textures import build_texture_stack
+            textures = build_texture_stack(
+                host_scene["texture_images"],
+                srgb=host_scene.get("texture_srgb"))
+            self.scene = self.scene._replace(textures=textures)
         self.assets = integrator.RenderAssets(
             scene=self.scene, bvh=self.bvh, soup=self.soup, env=self.env,
             lights=self.lights, dense=self.dense)

@@ -147,12 +147,19 @@ def _compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return m
 
 
-def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
+def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None,
+              texture_cache=None):
     """Parse a glTF file into a SceneBuilder; returns (host_scene_dict,
-    info) where info carries cameras/lights/animations/textures."""
+    info) where info carries cameras/lights/animations/textures.
+
+    texture_cache: scene.texcache.TextureCache — when given, texture
+    decode starts HERE on its thread pool and overlaps the geometry
+    parse + downstream builds; info['textures'] then holds futures."""
     gf = GltfFile(path)
     g = gf.json
     sb = scene_builder or SceneBuilder()
+    early_textures = (decode_textures(gf, cache=texture_cache)
+                      if texture_cache is not None else None)
 
     # ---- materials (donut GltfImporter material conversion)
     mat_ids: List[int] = []
@@ -346,7 +353,9 @@ def load_gltf(path: str, scene_builder: Optional[SceneBuilder] = None):
         skins.append(dict(joints=list(joints), inverse_bind=inv))
 
     info = dict(cameras=cameras, lights=punctual_lights, gltf=gf,
-                builder=sb, textures=decode_textures(gf),
+                builder=sb,
+                textures=(early_textures if early_textures is not None
+                          else decode_textures(gf)),
                 texture_srgb=srgb, skins=skins)
     return host, info
 
@@ -372,11 +381,47 @@ def compute_world_transforms(g: dict, nodes: list) -> list:
     return world
 
 
-def decode_textures(gf: GltfFile):
-    """Decode glTF texture images with PIL (TextureCache equivalent);
-    returns a list indexed by glTF texture index."""
+def _decode_one_texture(gf: GltfFile, img: dict):
+    """Decode one glTF image record (DDS or PIL) to an array."""
     import io
     from PIL import Image
+    try:
+        from . import dds as DDS
+        raw = None
+        path = None
+        if "bufferView" in img:
+            bv = gf.json["bufferViews"][img["bufferView"]]
+            data = gf.buffer(bv["buffer"])
+            start = bv.get("byteOffset", 0)
+            raw = data[start:start + bv["byteLength"]]
+        else:
+            uri = img.get("uri", "")
+            if uri.startswith("data:"):
+                raw = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                from urllib.parse import unquote
+                path = os.path.join(gf.dir, unquote(uri))
+                if path.lower().endswith(".dds"):
+                    with open(path, "rb") as f:
+                        raw = f.read()
+        if raw is not None and DDS.is_dds(raw):
+            return DDS.decode_dds(raw)            # donut DDSFile path
+        im = Image.open(io.BytesIO(raw)) if raw is not None \
+            else Image.open(path)
+        return np.asarray(im.convert("RGBA"))
+    except Exception:
+        return np.ones((4, 4, 4), np.float32)
+
+
+def decode_textures(gf: GltfFile, cache=None):
+    """Decode glTF texture images (TextureCache equivalent); returns a
+    list indexed by glTF texture index.
+
+    With `cache` (scene.texcache.TextureCache) the list holds FUTURES
+    decoded on the pool — deduped per image source, resolved lazily by
+    consumers (texcache.resolve_image) so decode overlaps geometry
+    flattening and BVH/device builds (donut TextureCache.cpp async
+    loads)."""
     out = []
     for tex in gf.json.get("textures", []):
         src = tex.get("source", -1)
@@ -384,33 +429,12 @@ def decode_textures(gf: GltfFile):
             out.append(np.ones((4, 4, 4), np.float32))
             continue
         img = gf.json["images"][src]
-        try:
-            from . import dds as DDS
-            raw = None
-            path = None
-            if "bufferView" in img:
-                bv = gf.json["bufferViews"][img["bufferView"]]
-                data = gf.buffer(bv["buffer"])
-                start = bv.get("byteOffset", 0)
-                raw = data[start:start + bv["byteLength"]]
-            else:
-                uri = img.get("uri", "")
-                if uri.startswith("data:"):
-                    raw = base64.b64decode(uri.split(",", 1)[1])
-                else:
-                    from urllib.parse import unquote
-                    path = os.path.join(gf.dir, unquote(uri))
-                    if path.lower().endswith(".dds"):
-                        with open(path, "rb") as f:
-                            raw = f.read()
-            if raw is not None and DDS.is_dds(raw):
-                out.append(DDS.decode_dds(raw))   # donut DDSFile path
-                continue
-            im = Image.open(io.BytesIO(raw)) if raw is not None \
-                else Image.open(path)
-            out.append(np.asarray(im.convert("RGBA")))
-        except Exception:
-            out.append(np.ones((4, 4, 4), np.float32))
+        if cache is not None:
+            out.append(cache.submit((id(gf), src),
+                                    lambda im=img: _decode_one_texture(
+                                        gf, im)))
+        else:
+            out.append(_decode_one_texture(gf, img))
     return out
 
 

@@ -93,7 +93,8 @@ def bake_opacity_masks(host: dict) -> np.ndarray:
         tex = base_tex[mid]
         if tex < 0 or tex >= len(images):
             continue
-        img = np.asarray(images[tex])
+        from .texcache import resolve_image
+        img = np.asarray(resolve_image(images[tex]))
         if img.ndim != 3 or img.shape[2] < 4:
             continue  # no alpha channel -> opaque
         if tex not in pyramids:

@@ -87,6 +87,8 @@ def build_texture_stack(images: List[np.ndarray],
     inputs (color-map assumption for plain callers)."""
     if not images:
         return None
+    from .texcache import resolve_images
+    images = resolve_images(images)    # join async decode futures here
     if size is not None:
         max_size = size
     k = len(images)
