@@ -72,9 +72,18 @@ class FrameOutputs(NamedTuple):
 def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
               prev_res: Optional[Reservoir],
               prev_gi: "Optional[gi.GIReservoir]", prev_gb_normal,
-              prev_gb_z, px, py, consts, *, cfg: C.PTConfig,
-              width: int, height: int, has_prev: bool):
-    """Stage 1 (ray tracing): G-buffer, ReSTIR DI, indirect paths."""
+              prev_gb_z, px, py, consts, y0=0, *, cfg: C.PTConfig,
+              width: int, height: int, has_prev: bool,
+              rows: Optional[int] = None,
+              prev_rows: Optional[int] = None):
+    """Stage 1 (ray tracing): G-buffer, ReSTIR DI, indirect paths.
+
+    Sharded stage 1 (meshutils.pt_frame_sharded) calls this per shard
+    with a row window: y0 = first global row, rows = local rows, and
+    prev buffers carrying prev_rows = rows + 2*halo exchanged rows."""
+    rows = height if rows is None else rows
+    prev_rows = rows if prev_rows is None else prev_rows
+    prev_y0 = y0 - (prev_rows - rows) // 2
     n = px.shape[0]
     gb = GB.trace_gbuffer(assets, cam, prev_cam, px, py)
     frame = consts.sample_base_index
@@ -92,10 +101,12 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
                 view_z: jnp.ndarray
             r = di.temporal_resample(assets, gb, r, prev_res,
                                      _PrevGB(prev_gb_normal, prev_gb_z),
-                                     px, py, width, height, frame)
+                                     px, py, width, height, frame,
+                                     y0=y0, rows=rows, prev_y0=prev_y0,
+                                     prev_rows=prev_rows)
         r_feedback = r
         r = di.spatial_resample(assets, gb, r, px, py, width, height,
-                                frame)
+                                frame, y0=y0, rows=rows)
         if not cfg.use_restir_gi:
             di_d, di_s = di.final_shade(assets, gb, r,
                                         exact_alpha=cfg.exact_alpha_test)
@@ -183,9 +194,12 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
         if has_prev and prev_gi is not None:
             gr = gi.temporal_resample(gb, gr, prev_gi, prev_gb_normal,
                                       prev_gb_z, px, py, width, height,
-                                      frame)
+                                      frame, y0=y0, rows=rows,
+                                      prev_y0=prev_y0,
+                                      prev_rows=prev_rows)
         gi_feedback = gr
-        gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
+        gr = gi.spatial_resample(gb, gr, px, py, width, height, frame,
+                                 y0=y0, rows=rows)
         if cfg.use_restir_di:
             di_d, di_s, gi_d, gi_s = di.fused_final_shade(
                 assets, gb, r, gr, exact_alpha=cfg.exact_alpha_test)
@@ -213,7 +227,7 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
                        gb.psr_thp * EM.eval_dir(assets.env, gb.view_dir))
     emission_bg = gb.emission + env_bg
 
-    shp = (height, width)
+    shp = (rows, width)
     r3 = lambda a: a.reshape(shp + (3,))
     r1 = lambda a: a.reshape(shp)
     return FrameOutputs(
@@ -233,14 +247,23 @@ def _pt_frame(assets, cam: CameraData, prev_cam: CameraData,
 def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
                      prev_res: Optional[Reservoir],
                      prev_gi: "Optional[gi.GIReservoir]", prev_gb_normal,
-                     prev_gb_z, px, py, consts, *, cfg: C.PTConfig,
-                     width: int, height: int, has_prev: bool):
+                     prev_gb_z, px, py, consts, y0=0, *,
+                     cfg: C.PTConfig,
+                     width: int, height: int, has_prev: bool,
+                     rows: Optional[int] = None,
+                     prev_rows: Optional[int] = None):
     """Stage 1 with the full stable-planes decomposition:
     BUILD (delta tree -> up to P planes) -> ReSTIR DI/GI on the dominant
     plane -> FILL (noisy paths deposit per-plane diff/spec radiance).
     Mirrors Sample::PathTrace + RtxdiPass::Execute (Sample.cpp:2281-2384).
+
+    y0/rows/prev_rows: see _pt_frame — the sharded stage 1 row window.
     """
     import dataclasses
+
+    rows = height if rows is None else rows
+    prev_rows = rows if prev_rows is None else prev_rows
+    prev_y0 = y0 - (prev_rows - rows) // 2
 
     from ..ops.intersect import Hit
     from ..pt import shading, stableplanes as SPM
@@ -288,10 +311,12 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
                 view_z: jnp.ndarray
             r = di.temporal_resample(assets, gb, r, prev_res,
                                      _PrevGB(prev_gb_normal, prev_gb_z),
-                                     px, py, width, height, frame)
+                                     px, py, width, height, frame,
+                                     y0=y0, rows=rows, prev_y0=prev_y0,
+                                     prev_rows=prev_rows)
         r_feedback = r
         r = di.spatial_resample(assets, gb, r, px, py, width, height,
-                                frame)
+                                frame, y0=y0, rows=rows)
         if not cfg.use_restir_gi:
             di_d, di_s = di.final_shade(assets, gb, r,
                                         exact_alpha=cfg.exact_alpha_test)
@@ -353,9 +378,12 @@ def _pt_frame_stable(assets, cam: CameraData, prev_cam: CameraData,
         if has_prev and prev_gi is not None:
             gr = gi.temporal_resample(gb, gr, prev_gi, prev_gb_normal,
                                       prev_gb_z, px, py, width, height,
-                                      frame)
+                                      frame, y0=y0, rows=rows,
+                                      prev_y0=prev_y0,
+                                      prev_rows=prev_rows)
         gi_feedback = gr
-        gr = gi.spatial_resample(gb, gr, px, py, width, height, frame)
+        gr = gi.spatial_resample(gb, gr, px, py, width, height, frame,
+                                 y0=y0, rows=rows)
         if cfg.use_restir_di:
             di_d, di_s, gi_d, gi_s = di.fused_final_shade(
                 assets, gb, r, gr, exact_alpha=cfg.exact_alpha_test)
@@ -418,6 +446,8 @@ def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
     eps = 1e-3
     color = sp.stable_radiance.reshape(shp + (3,))
     new_den = []
+    plane_diff_out = []      # per-plane (de)noised remodulated radiance
+    plane_spec_out = []      # (debug views StablePlane*RadianceDenoised)
     # dominant-plane motion drives TAA; per-plane motion drives denoising
     for p in range(P):
         d_in = (committed_diff[:, p, :3]
@@ -448,9 +478,13 @@ def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
         else:
             d_f, s_f = d_in, s_in
             new_den.append(den_states[p] if den_states else None)
-        plane_col = d_f * sp.diff_est[:, p].reshape(shp + (3,)) \
-            + s_f * sp.spec_est[:, p].reshape(shp + (3,))
-        color = color + jnp.where(valid[..., None], plane_col, 0.0)
+        pd = jnp.where(valid[..., None],
+                       d_f * sp.diff_est[:, p].reshape(shp + (3,)), 0.0)
+        ps = jnp.where(valid[..., None],
+                       s_f * sp.spec_est[:, p].reshape(shp + (3,)), 0.0)
+        plane_diff_out.append(pd)
+        plane_spec_out.append(ps)
+        color = color + pd + ps
     if use_taa:
         dom_oh = (jnp.arange(P)[None, :] == sp.dominant[:, None])
         motion_dom = jnp.sum(sp.motion * dom_oh[..., None],
@@ -462,7 +496,8 @@ def _post_frame_stable(sp, committed_diff, committed_spec, spec_motion,
             relax_mask = jnp.clip(2.0 - new_den[0][0].history, 0.0, 1.0)
         color, taa_state = taa_mod.resolve(taa_state, color, motion_dom,
                                            relax_mask=relax_mask)
-    return color, new_den, taa_state
+    plane_out = (jnp.stack(plane_diff_out), jnp.stack(plane_spec_out))
+    return color, new_den, taa_state, plane_out
 
 
 def _post_frame(out: FrameOutputs, den_diff, den_spec, taa_state, *,
@@ -530,6 +565,15 @@ class RealtimeRenderer(Renderer):
         # last_outputs, the stable-planes path fills last_stable_planes
         self.last_outputs = None
         self.last_stable_planes = None
+        self.last_plane_radiance = None    # (cdiff, cspec) (N,P,4)
+        self.last_plane_denoised = None    # (P,H,W,3) diff/spec stacks
+
+    def _shard_stage1(self, height: int) -> bool:
+        """Stage 1 shards over the mesh when the rows divide evenly
+        (pt_frame_sharded); otherwise it stays single-device and only
+        post shards (the round-2 behavior)."""
+        return (self.mesh is not None and self.mesh.devices.size > 1
+                and height % self.mesh.devices.size == 0)
 
     def render_frame(self, width: int, height: int,
                      camera: Optional[CameraData] = None,
@@ -566,18 +610,26 @@ class RealtimeRenderer(Renderer):
                 color = self._apply_taau(color, motion, display_size,
                                          jit)
             return color
-        key = (width, height, has_prev)
-        if key not in self._frame_jit:
-            self._frame_jit[key] = jax.jit(functools.partial(
-                _pt_frame, cfg=self.cfg, width=width, height=height,
-                has_prev=has_prev))
-        out = self._frame_jit[key](
-            self.assets, cam, self.prev_cam, self.prev_reservoir,
-            self.prev_gi,
-            self.prev_gb_normal if has_prev else jnp.zeros((width * height,
-                                                            3)),
-            self.prev_gb_z if has_prev else jnp.zeros((width * height,)),
-            px, py, consts)
+        gbn = self.prev_gb_normal if has_prev else \
+            jnp.zeros((width * height, 3))
+        gbz = self.prev_gb_z if has_prev else \
+            jnp.zeros((width * height,))
+        if self._shard_stage1(height):
+            from ..parallel import meshutils
+            out = meshutils.pt_frame_sharded(
+                self.mesh, "psr", self.cfg, self.assets, cam,
+                self.prev_cam, self.prev_reservoir, self.prev_gi,
+                gbn, gbz, px, py, consts, width=width, height=height,
+                has_prev=has_prev)
+        else:
+            key = (width, height, has_prev)
+            if key not in self._frame_jit:
+                self._frame_jit[key] = jax.jit(functools.partial(
+                    _pt_frame, cfg=self.cfg, width=width, height=height,
+                    has_prev=has_prev))
+            out = self._frame_jit[key](
+                self.assets, cam, self.prev_cam, self.prev_reservoir,
+                self.prev_gi, gbn, gbz, px, py, consts)
 
         # ---- stage 2: denoise + compose + TAA (post pipeline)
         use_den = self.cfg.denoiser_enabled if denoise is None else denoise
@@ -712,18 +764,26 @@ class RealtimeRenderer(Renderer):
                              has_prev, denoise, taa):
         """Frame driver for the 3-plane stable-planes pipeline."""
         n = width * height
-        key = ("sp", width, height, has_prev)
-        if key not in self._frame_jit:
-            self._frame_jit[key] = jax.jit(functools.partial(
-                _pt_frame_stable, cfg=self.cfg, width=width, height=height,
-                has_prev=has_prev))
-        (sp, cdiff, cspec, smot, r_fb, gi_fb, gb_normal, gb_z) = \
-            self._frame_jit[key](
-                self.assets, cam, self.prev_cam, self.prev_reservoir,
-                self.prev_gi,
-                self.prev_gb_normal if has_prev else jnp.zeros((n, 3)),
-                self.prev_gb_z if has_prev else jnp.zeros((n,)),
-                px, py, consts)
+        gbn = self.prev_gb_normal if has_prev else jnp.zeros((n, 3))
+        gbz = self.prev_gb_z if has_prev else jnp.zeros((n,))
+        if self._shard_stage1(height):
+            from ..parallel import meshutils
+            (sp, cdiff, cspec, smot, r_fb, gi_fb, gb_normal, gb_z) = \
+                meshutils.pt_frame_sharded(
+                    self.mesh, "stable", self.cfg, self.assets, cam,
+                    self.prev_cam, self.prev_reservoir, self.prev_gi,
+                    gbn, gbz, px, py, consts, width=width,
+                    height=height, has_prev=has_prev)
+        else:
+            key = ("sp", width, height, has_prev)
+            if key not in self._frame_jit:
+                self._frame_jit[key] = jax.jit(functools.partial(
+                    _pt_frame_stable, cfg=self.cfg, width=width,
+                    height=height, has_prev=has_prev))
+            (sp, cdiff, cspec, smot, r_fb, gi_fb, gb_normal, gb_z) = \
+                self._frame_jit[key](
+                    self.assets, cam, self.prev_cam, self.prev_reservoir,
+                    self.prev_gi, gbn, gbz, px, py, consts)
 
         use_den = self.cfg.denoiser_enabled if denoise is None else denoise
         P = self.cfg.stable_plane_count
@@ -733,6 +793,7 @@ class RealtimeRenderer(Renderer):
                 use_den:
             color = self._post_sharded_stable(sp, cdiff, cspec, smot,
                                               width, height, taa)
+            self.last_plane_radiance = (cdiff, cspec)
             self.last_stable_planes = sp
             self.prev_cam = cam
             self.prev_reservoir = r_fb
@@ -749,9 +810,11 @@ class RealtimeRenderer(Renderer):
                 _post_frame_stable, width=width, height=height,
                 use_den=use_den, use_taa=taa,
                 method=self.cfg.denoiser_method))
-        color, self.den_states, self.taa_state = self._post_jit[post_key](
+        (color, self.den_states, self.taa_state,
+         self.last_plane_denoised) = self._post_jit[post_key](
             sp, cdiff, cspec, smot, self.den_states, self.taa_state)
 
+        self.last_plane_radiance = (cdiff, cspec)
         self.last_stable_planes = sp
         self.prev_cam = cam
         self.prev_reservoir = r_fb

@@ -347,9 +347,15 @@ class BVH8:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], aux[2].val,
-                   nodes_t=children[2], leaves_t=children[3],
-                   leaf_omm=children[4])
+        # bypass __init__: JAX unflattens with placeholder leaves (None)
+        # while matching shard_map specs/avals, and __init__'s derived-
+        # field computation (full_like/pack) must not run on those
+        obj = object.__new__(cls)
+        (obj.table, obj.leaf_tris, obj.nodes_t, obj.leaves_t,
+         obj.leaf_omm) = children
+        obj.leaf_size, obj.num_nodes = aux[0], aux[1]
+        obj.refit_info = aux[2].val
+        return obj
 
 
 class _StaticWrap:

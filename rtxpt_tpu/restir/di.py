@@ -250,11 +250,20 @@ def _gather_pixel(arr2d, iy, ix):
 
 def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
                       prev: Optional[Reservoir], prev_gb: Optional[GBuffer],
-                      px, py, width, height, sample_index) -> Reservoir:
+                      px, py, width, height, sample_index,
+                      y0=0, rows=None, prev_y0=0,
+                      prev_rows=None) -> Reservoir:
     """TemporalResampling.hlsl: reproject with motion vectors, validate
-    geometry, clamp history M, merge."""
+    geometry, clamp history M, merge.
+
+    y0/rows: row window of the CURRENT buffers (sharded stage 1);
+    prev_y0/prev_rows: window of the prev-frame buffers (carry halo
+    rows). Defaults = full frame (bit-identical unsharded path)."""
     if prev is None or prev_gb is None:
         return cur
+    from .window import window_flat
+    rows = height if rows is None else rows
+    prev_rows = height if prev_rows is None else prev_rows
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
     g = rng.start_effect(g, EFFECT_RESTIR_TEMPORAL)
@@ -262,11 +271,11 @@ def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
 
     prev_x = px.astype(jnp.float32) + gb.motion[..., 0]
     prev_y = py.astype(jnp.float32) + gb.motion[..., 1]
-    ix = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, height - 1)
     in_bounds = (prev_x >= -0.5) & (prev_x < width - 0.5) & \
         (prev_y >= -0.5) & (prev_y < height - 0.5)
-    flat = iy * width + ix
+    flat = window_flat(jnp.round(prev_x).astype(jnp.int32),
+                       jnp.round(prev_y).astype(jnp.int32),
+                       width, prev_y0, prev_rows, height)
 
     pr = Reservoir(light=prev.light[flat], uv=prev.uv[flat],
                    w_sum=prev.w_sum[flat], m=prev.m[flat],
@@ -281,7 +290,7 @@ def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
     # re-evaluate prev sample's target at the current pixel
     p_hat, _, _, _, _ = eval_target(assets, gb, pr.light, pr.uv)
     out = merge(cur, pr, p_hat, u)
-    return boiling_filter(out, width, height)
+    return boiling_filter(out, width, rows)
 
 
 def boiling_filter(r: Reservoir, width, height,
@@ -313,7 +322,8 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
                      width, height, sample_index, taps: int = 2,
                      radius: float = 20.0,
                      unbiased: bool = True,
-                     mis: str = "pairwise") -> Reservoir:
+                     mis: str = "pairwise",
+                     y0=0, rows=None) -> Reservoir:
     """SpatialResampling.hlsl: merge nearby reservoirs with geometry
     tests.
 
@@ -330,10 +340,15 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
     by Z = sum of the M of every participating pixel whose own target
     function supports the selected sample. Kept as an A/B reference.
 
-    unbiased=False: naive (biased) merge."""
+    unbiased=False: naive (biased) merge.
+
+    y0/rows: row window of the current buffers (taps clamp to the
+    shard's rows; the unsharded default clamps to the frame)."""
+    from .window import window_flat
+    rows = height if rows is None else rows
     if unbiased and mis == "pairwise":
         return _spatial_pairwise(assets, gb, cur, px, py, width, height,
-                                 sample_index, taps, radius)
+                                 sample_index, taps, radius, y0, rows)
     import jax
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
@@ -348,13 +363,12 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
         g, u2 = rng.next_2d(g)
         g, u = rng.next_1d(g)
         off = mu.sample_disk_concentric(u2) * radius
-        ix = jnp.clip(px.astype(jnp.int32)
-                      + jnp.round(off[..., 0]).astype(jnp.int32), 0,
-                      width - 1)
-        iy = jnp.clip(py.astype(jnp.int32)
-                      + jnp.round(off[..., 1]).astype(jnp.int32), 0,
-                      height - 1)
-        flat = iy * width + ix
+        flat = window_flat(
+            px.astype(jnp.int32)
+            + jnp.round(off[..., 0]).astype(jnp.int32),
+            py.astype(jnp.int32)
+            + jnp.round(off[..., 1]).astype(jnp.int32),
+            width, y0, rows, height)
         nb = Reservoir(light=cur.light[flat], uv=cur.uv[flat],
                        w_sum=cur.w_sum[flat], m=cur.m[flat],
                        target=cur.target[flat])
@@ -380,7 +394,7 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
 
 def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
                       width, height, sample_index, taps: int,
-                      radius: float) -> Reservoir:
+                      radius: float, y0=0, rows=None) -> Reservoir:
     """Defensive pairwise-MIS spatial reuse (RTXDI pairwise bias
     correction). Every neighbor stream i is paired against the canonical
     stream c:
@@ -394,6 +408,9 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
     division; we store w_sum pre-multiplied by M so the shared
     contribution_weight() (which divides by M) stays valid."""
     import jax
+
+    from .window import window_flat
+    rows = height if rows is None else rows
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
     g = rng.start_effect(g, EFFECT_RESTIR_SPATIAL)
@@ -411,13 +428,12 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
         g, u2 = rng.next_2d(g)
         g, u = rng.next_1d(g)
         off = mu.sample_disk_concentric(u2) * radius
-        ix = jnp.clip(px.astype(jnp.int32)
-                      + jnp.round(off[..., 0]).astype(jnp.int32), 0,
-                      width - 1)
-        iy = jnp.clip(py.astype(jnp.int32)
-                      + jnp.round(off[..., 1]).astype(jnp.int32), 0,
-                      height - 1)
-        flat = iy * width + ix
+        flat = window_flat(
+            px.astype(jnp.int32)
+            + jnp.round(off[..., 0]).astype(jnp.int32),
+            py.astype(jnp.int32)
+            + jnp.round(off[..., 1]).astype(jnp.int32),
+            width, y0, rows, height)
         nb = Reservoir(light=cur.light[flat], uv=cur.uv[flat],
                        w_sum=cur.w_sum[flat], m=cur.m[flat],
                        target=cur.target[flat])

@@ -119,19 +119,24 @@ def _gather(r: GIReservoir, flat) -> GIReservoir:
 
 def temporal_resample(gb: GBuffer, cur: GIReservoir,
                       prev: Optional[GIReservoir], prev_normal, prev_z,
-                      px, py, width, height, frame) -> GIReservoir:
+                      px, py, width, height, frame,
+                      y0=0, rows=None, prev_y0=0,
+                      prev_rows=None) -> GIReservoir:
     if prev is None:
         return cur
+    from .window import window_flat
+    rows = height if rows is None else rows
+    prev_rows = height if prev_rows is None else prev_rows
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(frame))
     g = rng.start_effect(g, EFFECT_RESTIR_GI_TEMPORAL)
     g, u = rng.next_1d(g)
     prev_x = px.astype(jnp.float32) + gb.motion[..., 0]
     prev_y = py.astype(jnp.float32) + gb.motion[..., 1]
-    ix = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, height - 1)
     in_b = (prev_x >= -0.5) & (prev_x < width - 0.5) & \
         (prev_y >= -0.5) & (prev_y < height - 0.5)
-    flat = iy * width + ix
+    flat = window_flat(jnp.round(prev_x).astype(jnp.int32),
+                       jnp.round(prev_y).astype(jnp.int32),
+                       width, prev_y0, prev_rows, height)
     pr = _gather(prev, flat)
     sim = in_b & gb.valid & \
         (jnp.sum(gb.normal * prev_normal[flat], -1) > 0.9) & \
@@ -143,7 +148,7 @@ def temporal_resample(gb: GBuffer, cur: GIReservoir,
                                     pr.valid)
     # temporal reuse is same-point reconnection -> Jacobian ~ 1
     return boiling_filter(_merge(cur, pr, p_hat, jnp.ones_like(p_hat), u),
-                          width, height)
+                          width, rows)
 
 
 def boiling_filter(r: GIReservoir, width, height,
@@ -171,7 +176,10 @@ def boiling_filter(r: GIReservoir, width, height,
 
 def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
                      frame, taps: int = 2,
-                     radius: float = 16.0) -> GIReservoir:
+                     radius: float = 16.0, y0=0,
+                     rows=None) -> GIReservoir:
+    from .window import window_flat
+    rows = height if rows is None else rows
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(frame))
     g = rng.start_effect(g, EFFECT_RESTIR_GI_SPATIAL)
     r = cur
@@ -182,13 +190,12 @@ def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
         g, u2 = rng.next_2d(g)
         g, u = rng.next_1d(g)
         off = mu.sample_disk_concentric(u2) * radius
-        ix = jnp.clip(px.astype(jnp.int32)
-                      + jnp.round(off[..., 0]).astype(jnp.int32), 0,
-                      width - 1)
-        iy = jnp.clip(py.astype(jnp.int32)
-                      + jnp.round(off[..., 1]).astype(jnp.int32), 0,
-                      height - 1)
-        flat = iy * width + ix
+        flat = window_flat(
+            px.astype(jnp.int32)
+            + jnp.round(off[..., 0]).astype(jnp.int32),
+            py.astype(jnp.int32)
+            + jnp.round(off[..., 1]).astype(jnp.int32),
+            width, y0, rows, height)
         nb = _gather(cur, flat)
         sim = gb.valid & \
             (jnp.sum(gb.normal * normal2[flat], -1) > 0.9) & \

@@ -15,21 +15,59 @@ import numpy as np
 
 from ..core import mathutils as mu
 
-# DebugViewType subset (ShaderDebug.hlsli naming)
+# DebugViewType coverage (ShaderDebug.hlsli:24-80 naming)
 VIEWS = [
     "FirstHitBarycentrics", "FirstHitFaceNormal", "FirstHitShadingNormal",
+    "FirstHitShadingTangent", "FirstHitShadingBitangent",
+    "FirstHitFrontFacing", "FirstHitThinSurface",
+    "FirstHitShaderPermutation",
     "FirstHitDiffuse", "FirstHitSpecular", "FirstHitRoughness",
     "FirstHitMetallic", "FirstHitEmissive", "FirstHitOpacity",
     "FirstHitThp", "FirstHitViewDir", "MaterialID", "ViewZ",
-    "MotionVectors", "Depth", "DenoiserDiffRadiance",
+    "MotionVectors", "Depth", "ImagePlaneRayLength",
+    "VBufferMotionVectors", "VBufferDepth",
+    "FirstHitOpacityMicroMapInWorld", "FirstHitOpacityMicroMapOverlay",
+    "DenoiserDiffRadiance",
     "DenoiserSpecRadiance", "ReSTIRDIOutput", "ReSTIRGIOutput",
+    # ReSTIR DI per-stage outputs (ShaderDebug.hlsli:71-76); Initial and
+    # Spatial recompute the stage on the retraced G-buffer, Temporal
+    # shades the frame's feedback reservoir (post-temporal, pre-spatial)
+    "ReSTIRDIInitialOutput", "ReSTIRDITemporalOutput",
+    "ReSTIRDISpatialOutput", "ReSTIRDIFinalContribution",
+    "ReGIRIndirectOutput",
+    # ReSTIR GI secondary surface (ShaderDebug.hlsli:67-69)
+    "SecondarySurfacePosition", "SecondarySurfaceRadiance",
     # stable-planes explorer (StablePlaneDebugVizColor + per-plane data;
-    # needs stable_planes= from RealtimeRenderer.last_stable_planes)
+    # needs stable_planes= from RealtimeRenderer.last_stable_planes;
+    # plane_index=-1 follows the dominant plane, >=0 picks one —
+    # the reference's DebugViewStablePlaneIndex (SampleUI.h:192)
     "StablePlaneCount", "StablePlaneDominant", "StablePlaneBranchViz",
     "StablePlaneVirtualDepth", "StableRadiance",
+    "StablePlaneNormals", "StablePlaneRoughness",
+    "StablePlaneMotionVectors", "StablePlaneViewZ",
+    "StablePlaneVirtualRayLength",
+    "StablePlaneDiffBSDFEstimate", "StablePlaneSpecBSDFEstimate",
+    "StablePlaneDiffRadiance", "StablePlaneSpecRadiance",
+    "StablePlaneDiffHitDist", "StablePlaneSpecHitDist",
+    "StablePlaneDiffRadianceDenoised", "StablePlaneSpecRadianceDenoised",
+    "StablePlaneCombinedRadianceDenoised",
+    "StablePlaneRelaxedDisocclusion", "StablePlaneDenoiserValidation",
     # NaN/Inf sanitizer (Sample.hlsl:217-243 cross pattern)
     "NaNSanitizer",
 ]
+
+# reference names that map onto an existing channel 1:1 (the repo's
+# G-buffer IS the V-buffer resolve; post-PSR they coincide on
+# non-delta surfaces)
+_ALIASES = {
+    "VBufferMotionVectors": "MotionVectors",
+    "VBufferDepth": "Depth",
+    "DominantStablePlaneIndex": "StablePlaneDominant",
+    # the frame's captured di_diffuse+di_specular IS the final
+    # contribution of the fused final-shade pass
+    "ReSTIRDIFinalOutput": "ReSTIRDIOutput",
+    "ReSTIRDIFinalContribution": "ReSTIRDIOutput",
+}
 
 
 def _normalize01(x):
@@ -40,17 +78,27 @@ def _normalize01(x):
 
 def render_debug_view(view: str, assets, cam, width: int, height: int,
                       frame_outputs=None, stable_planes=None,
-                      color=None):
+                      color=None, plane_index: int = -1,
+                      plane_radiance=None, plane_denoised=None,
+                      den_states=None, frame_index: int = 0):
     """Render one debug channel of the primary surface to (H,W,3).
 
     Pipeline-output views (Denoiser*/ReSTIR*) read from `frame_outputs`
     (a models.realtime.FrameOutputs, e.g. RealtimeRenderer.last_outputs);
     StablePlane* views read `stable_planes` (a pt.stableplanes.
     StablePlanes, e.g. RealtimeRenderer.last_stable_planes);
+    per-plane radiance views read `plane_radiance` (the (N,P,4)
+    committed diff/spec pair, RealtimeRenderer.last_plane_radiance) and
+    `plane_denoised` ((P,H,W,3) stacks, .last_plane_denoised);
+    denoiser-history views read `den_states` (list of per-plane
+    (diff,spec) DenoiserState, RealtimeRenderer.den_states);
+    `plane_index` selects the stable plane (-1 = dominant), the
+    reference's DebugViewStablePlaneIndex.
     NaNSanitizer paints non-finite pixels of `color` with the
     reference's cross pattern; surface views retrace the G-buffer."""
     import jax
     from ..pt import gbuffer as GB
+    view = _ALIASES.get(view, view)
     shp2 = (height, width)
     if view == "NaNSanitizer":
         if color is None:
@@ -66,6 +114,41 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
         safe = jnp.where(jnp.isfinite(img), img, 0.0)
         return jnp.where(cross[..., None], mark,
                          jnp.clip(safe / (1.0 + safe), 0.0, 1.0))
+    if view in ("StablePlaneDiffRadianceDenoised",
+                "StablePlaneSpecRadianceDenoised",
+                "StablePlaneCombinedRadianceDenoised"):
+        if plane_denoised is None:
+            raise ValueError(
+                f"debug view {view} needs plane_denoised (render a "
+                "denoised stable-planes frame first; "
+                "RealtimeRenderer.last_plane_denoised)")
+        dstack, sstack = plane_denoised          # (P,H,W,3) each
+        p = max(plane_index, 0)
+        if view == "StablePlaneDiffRadianceDenoised":
+            out = dstack[p]
+        elif view == "StablePlaneSpecRadianceDenoised":
+            out = sstack[p]
+        else:
+            out = dstack[p] + sstack[p]
+        return jnp.clip(out / (1.0 + out), 0.0, 1.0)
+    if view in ("StablePlaneRelaxedDisocclusion",
+                "StablePlaneDenoiserValidation"):
+        if not den_states or den_states[0][0] is None:
+            raise ValueError(
+                f"debug view {view} needs den_states (render a denoised "
+                "realtime frame first; RealtimeRenderer.den_states)")
+        dd, ds = den_states[max(plane_index, 0)]
+        if view == "StablePlaneRelaxedDisocclusion":
+            # fresh history (disocclusion / clamp reset) in red, settled
+            # history in green — the NRD validation overlay scheme
+            relax = jnp.clip(2.0 - dd.history, 0.0, 1.0)
+            out = jnp.stack([relax, 1.0 - relax,
+                             jnp.zeros_like(relax)], -1)
+        else:
+            h = jnp.minimum(dd.history / 32.0, 1.0)
+            hs = jnp.minimum(ds.history / 32.0, 1.0)
+            out = jnp.stack([1.0 - h, h * hs, 1.0 - hs], -1)
+        return jnp.clip(out, 0.0, 1.0)
     if view.startswith("StablePlane") or view == "StableRadiance":
         from ..pt import stableplanes as SPM
         if stable_planes is None:
@@ -75,6 +158,17 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
         sp = stable_planes
         P = sp.count
         valid = sp.branch_id != SPM.INVALID_BRANCH      # (N,P)
+
+        def pick(arr):
+            """(N,P,...) -> (N,...) at plane_index (-1 = dominant)."""
+            if plane_index >= 0:
+                return arr[:, plane_index]
+            oh = (jnp.arange(P)[None, :] == sp.dominant[:, None])
+            return jnp.sum(arr * oh.reshape(oh.shape + (1,) *
+                                            (arr.ndim - 2)), axis=1)
+
+        pvalid = (valid[:, plane_index] if plane_index >= 0
+                  else jnp.ones(valid.shape[0], bool))
         if view == "StablePlaneCount":
             c = valid.sum(-1).astype(jnp.float32) / P
             out = jnp.stack([c, 1.0 - c, jnp.zeros_like(c)], -1)
@@ -89,9 +183,54 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
         elif view == "StablePlaneVirtualDepth":
             z = jnp.where(valid, sp.scene_length, 0.0).max(-1)
             out = jnp.tile(_normalize01(z)[..., None], (1, 3))
+        elif view == "StablePlaneNormals":
+            out = pick(sp.normal) * 0.5 + 0.5
+        elif view == "StablePlaneRoughness":
+            out = jnp.tile(pick(sp.roughness)[..., None], (1, 3))
+        elif view == "StablePlaneMotionVectors":
+            m = pick(sp.motion)
+            out = jnp.stack([jnp.abs(m[..., 0]), jnp.abs(m[..., 1]),
+                             jnp.zeros_like(m[..., 0])], -1) * 0.1
+        elif view == "StablePlaneViewZ":
+            out = jnp.tile(_normalize01(pick(sp.view_z))[..., None],
+                           (1, 3))
+        elif view == "StablePlaneVirtualRayLength":
+            out = jnp.tile(_normalize01(pick(sp.scene_length))[..., None],
+                           (1, 3))
+        elif view == "StablePlaneDiffBSDFEstimate":
+            out = pick(sp.diff_est)
+        elif view == "StablePlaneSpecBSDFEstimate":
+            out = pick(sp.spec_est)
+        elif view in ("StablePlaneDiffRadiance", "StablePlaneSpecRadiance",
+                      "StablePlaneDiffHitDist", "StablePlaneSpecHitDist"):
+            if plane_radiance is None:
+                raise ValueError(
+                    f"debug view {view} needs plane_radiance (render a "
+                    "stable-planes frame first; "
+                    "RealtimeRenderer.last_plane_radiance)")
+            cdiff, cspec = plane_radiance        # (N,P,4)
+            src = cdiff if "Diff" in view else cspec
+            if view.endswith("HitDist"):
+                out = jnp.tile(_normalize01(pick(src[..., 3]))[..., None],
+                               (1, 3))
+            else:
+                rad = pick(src[..., :3])
+                out = jnp.clip(rad / (1.0 + rad), 0.0, 1.0)
         else:  # StableRadiance
             sr = sp.stable_radiance
             out = jnp.clip(sr / (1.0 + sr), 0.0, 1.0)
+        out = jnp.where(pvalid[..., None], out, 0.0)
+        return jnp.clip(out.reshape(shp2 + (3,)), 0.0, 1.0)
+    if view in ("SecondarySurfacePosition", "SecondarySurfaceRadiance"):
+        if frame_outputs is None:
+            raise ValueError(f"debug view {view} needs frame_outputs")
+        gr = frame_outputs.gi_reservoir
+        if view == "SecondarySurfacePosition":
+            out = jnp.where(gr.valid[..., None],
+                            _normalize01(gr.pos), 0.0)
+        else:
+            out = jnp.where(gr.valid[..., None],
+                            gr.radiance / (1.0 + gr.radiance), 0.0)
         return jnp.clip(out.reshape(shp2 + (3,)), 0.0, 1.0)
     if view in ("DenoiserDiffRadiance", "DenoiserSpecRadiance",
                 "ReSTIRDIOutput", "ReSTIRGIOutput"):
@@ -119,6 +258,58 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
     def img3(a):
         return a.reshape(shp + (3,))
 
+    if view.startswith("ReSTIRDI") or view == "ReGIRIndirectOutput":
+        from ..restir import di
+        if view == "ReSTIRDIInitialOutput":
+            r = di.generate_candidates(assets, gb, px, py, frame_index)
+        elif view == "ReSTIRDITemporalOutput":
+            if frame_outputs is None:
+                raise ValueError(f"{view} needs frame_outputs (the "
+                                 "feedback reservoir is post-temporal)")
+            r = frame_outputs.reservoir
+        elif view == "ReSTIRDISpatialOutput":
+            base = (frame_outputs.reservoir if frame_outputs is not None
+                    else di.generate_candidates(assets, gb, px, py,
+                                                frame_index))
+            r = di.spatial_resample(assets, gb, base, px, py, width,
+                                    height, frame_index)
+        elif view == "ReGIRIndirectOutput":
+            # one unshadowed ReGIR draw at the primary surface — shows
+            # the local-light grid's output field
+            # (LightSamplingLocal.hlsli ReGIR debug)
+            from ..core import rng as _rng
+            from ..restir import regir as RG
+            grid = assets.regir
+            if grid is None:
+                if assets.lights is None:
+                    raise ValueError("ReGIRIndirectOutput needs local "
+                                     "lights (assets.lights)")
+                lo = jnp.min(assets.scene.positions, 0) - 1e-3
+                hi = jnp.max(assets.scene.positions, 0) + 1e-3
+                grid = RG.build_regir(assets.lights,
+                                      assets.scene.positions,
+                                      assets.scene.indices, lo, hi,
+                                      frame_index)
+            g = _rng.make(px, py, jnp.uint32(0), jnp.uint32(frame_index))
+            g, u2 = _rng.next_2d(g)
+            ls = RG.sample_regir(grid, assets.lights,
+                                 assets.scene.positions,
+                                 assets.scene.indices, gb.pos, u2)
+            nol = jnp.maximum(
+                jnp.sum(gb.normal * ls.direction, -1), 0.0)
+            out = jnp.where((gb.valid & ls.valid)[..., None],
+                            ls.li * nol[..., None], 0.0)
+            out = out / (1.0 + out)
+            return img3(jnp.clip(jnp.where(gb.valid[..., None], out,
+                                           0.0), 0.0, 1.0))
+        else:
+            raise ValueError(f"unknown debug view {view}")
+        d, s = di.final_shade(assets, gb, r)
+        out = d + s
+        out = out / (1.0 + out)
+        return img3(jnp.clip(jnp.where(gb.valid[..., None], out, 0.0),
+                             0.0, 1.0))
+
     if view == "FirstHitBarycentrics":
         b = gb.bary
         out = jnp.stack([b[..., 0], b[..., 1],
@@ -144,6 +335,36 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
         out = gb.psr_thp
     elif view == "FirstHitViewDir":
         out = gb.view_dir * 0.5 + 0.5
+    elif view == "FirstHitShadingTangent":
+        out = gb.surface.sd.t * 0.5 + 0.5
+    elif view == "FirstHitShadingBitangent":
+        out = gb.surface.sd.b * 0.5 + 0.5
+    elif view == "FirstHitFrontFacing":
+        ff = gb.surface.sd.front_facing.astype(jnp.float32)
+        out = jnp.stack([1.0 - ff, ff, jnp.zeros_like(ff)], -1)
+    elif view == "FirstHitThinSurface":
+        th = gb.surface.sd.thin_surface.astype(jnp.float32)
+        out = jnp.tile(th[..., None], (1, 3))
+    elif view == "FirstHitShaderPermutation":
+        # color by static shading class — the jit-specialization
+        # equivalent of the reference's shader permutation id
+        bd = gb.surface.bsdf_data
+        key = ((bd.metallic > 0.5).astype(jnp.uint32)
+               | ((bd.specular_transmission > 0.0)
+                  .astype(jnp.uint32) << 1)
+               | (gb.surface.sd.thin_surface.astype(jnp.uint32) << 2))
+        if gb.surface.alpha_mode is not None:
+            key = key | (gb.surface.alpha_mode.astype(jnp.uint32) << 3)
+        from ..core import rng as _rng
+        h = _rng.hash32(key)
+        out = jnp.stack([(h & 255) / 255.0, ((h >> 8) & 255) / 255.0,
+                         ((h >> 16) & 255) / 255.0], -1)
+    elif view == "ImagePlaneRayLength":
+        out = jnp.tile(_normalize01(
+            jnp.where(gb.valid, gb.t, 0.0))[..., None], (1, 3))
+    elif view in ("FirstHitOpacityMicroMapInWorld",
+                  "FirstHitOpacityMicroMapOverlay"):
+        out = _omm_view(assets, gb, overlay=view.endswith("Overlay"))
     elif view == "MaterialID":
         mid = gb.surface.sd.material_id.astype(jnp.uint32)
         from ..core import rng as _rng
@@ -161,6 +382,42 @@ def render_debug_view(view: str, assets, cam, width: int, height: int,
         raise ValueError(f"unknown debug view {view}; options: {VIEWS}")
     out = jnp.where(gb.valid[..., None], out, 0.0)
     return img3(jnp.clip(out, 0.0, 1.0))
+
+
+def _omm_view(assets, gb, overlay: bool):
+    """Opacity micro-mask state at the first hit: green = opaque cell,
+    red = transparent cell, gray = triangle carries no mask
+    (FirstHitOpacityMicroMapInWorld / ...Overlay,
+    ShaderDebug.hlsli:64-65). Overlay blends with the surface albedo."""
+    bvh = assets.bvh
+    lt = getattr(bvh, "leaf_tris", None)
+    lo = getattr(bvh, "leaf_omm", None)
+    n = gb.valid.shape[0]
+    if lt is None or lo is None:
+        return jnp.tile(jnp.asarray([[0.25, 0.25, 0.3]]), (n, 1))
+    # per-prim mask table: scatter the BVH leaf slots back to prim ids
+    # (leaf_tris/leaf_omm are slot-aligned; Hit.prim comes from
+    # leaf_tris, so the index spaces agree)
+    lt_np = np.asarray(lt).reshape(-1).astype(np.int64)
+    lo_np = np.asarray(lo).reshape(-1).astype(np.int64)
+    ntp = int(lt_np.max()) + 1 if lt_np.size else 1
+    prim_mask = np.full(max(ntp, 1), 0xFFFF, np.int64)
+    ok = (lt_np >= 0) & (lt_np < ntp)
+    prim_mask[lt_np[ok]] = lo_np[ok]
+    pm = jnp.asarray(prim_mask, jnp.int32)
+    mask = pm[jnp.clip(gb.prim, 0, pm.shape[0] - 1)]
+    has = (mask != 0xFFFF) & gb.valid
+    ci = jnp.clip((gb.bary[..., 0] * 4.0).astype(jnp.int32), 0, 3)
+    cj = jnp.clip((gb.bary[..., 1] * 4.0).astype(jnp.int32), 0, 3)
+    bit = ((mask >> (ci * 4 + cj)) & 1) != 0
+    green = jnp.asarray([0.1, 0.85, 0.1])
+    red = jnp.asarray([0.9, 0.08, 0.08])
+    gray = jnp.asarray([0.3, 0.3, 0.35])
+    out = jnp.where(has[..., None],
+                    jnp.where(bit[..., None], green, red), gray)
+    if overlay:
+        out = 0.55 * gb.diffuse_albedo + 0.45 * out
+    return jnp.where(gb.valid[..., None], out, 0.0)
 
 
 def inspect_pixel(assets, cam, width: int, height: int, x: int, y: int

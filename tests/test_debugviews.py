@@ -21,7 +21,7 @@ def _setup():
 def _surface_views():
     return [v for v in DV.VIEWS
             if not v.startswith(("Denoiser", "ReSTIR", "StablePlane",
-                                 "StableRadiance", "NaN"))]
+                                 "StableRadiance", "NaN", "Secondary"))]
 
 
 def test_surface_views_render():

@@ -116,3 +116,48 @@ def test_realtime_sharded_post_smoke():
     assert img.shape == (40, 48, 3)
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+@pytest.mark.slow
+def test_stage1_sharded_matches_single_device():
+    """Row-sharded realtime stage 1 (pt_frame_sharded) vs the unsharded
+    frame fn. With zero motion and spatial taps that stay inside each
+    slab the paths are IDENTICAL; in general they differ only where a
+    tap lands within tap-radius of a slab seam, so the frame must agree
+    everywhere except a bounded seam band."""
+    from rtxpt_tpu import config as C
+    from rtxpt_tpu.models import realtime as RT
+    from rtxpt_tpu.models.renderer import realtime_config
+    from rtxpt_tpu.scene import envmap as EM, procedural
+
+    w, h = 32, 192       # slabs of 48 rows: 16px boiling blocks align,
+    n_dev = 4            # and rows exist farther than tap radius (20)
+    #                      from every seam
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(w, h)
+    cfg = realtime_config(use_restir_di=True, use_restir_gi=True,
+                          denoiser_enabled=False, use_stable_planes=False,
+                          max_bounces=3, max_diffuse_bounces=2)
+    env = EM.bake_procedural_sky(height=32)
+
+    single = RT.RealtimeRenderer(host, cam, cfg, env_radiance=env)
+    shard = RT.RealtimeRenderer(host, cam, cfg, env_radiance=env,
+                                mesh=meshutils.make_mesh(
+                                    jax.devices()[:n_dev]))
+    assert shard._shard_stage1(h)
+    for _ in range(2):      # frame 0 (no history) + frame 1 (temporal)
+        img_1 = np.asarray(single.render_frame(w, h, taa=False))
+        img_n = np.asarray(shard.render_frame(w, h, taa=False))
+    assert np.isfinite(img_n).all()
+    rows = h // n_dev
+    # rows within a tap radius of a seam may legitimately differ
+    # (clamped tap sets); everything else must match to float noise
+    seam_band = np.zeros(h, bool)
+    for s in range(rows, h, rows):
+        seam_band[max(s - 21, 0):min(s + 21, h)] = True
+    np.testing.assert_allclose(img_n[~seam_band], img_1[~seam_band],
+                               rtol=1e-4, atol=1e-5)
+    # and the seam rows still agree in the mean (same estimator)
+    if seam_band.any():
+        a, b = img_n[seam_band].mean(), img_1[seam_band].mean()
+        assert abs(a - b) < 0.15 * max(abs(b), 1e-3), (a, b)

@@ -69,9 +69,23 @@ def test_debug_views_render():
         img = np.asarray(debugviews.render_debug_view(
             view, r.assets, cam2, w, h,
             frame_outputs=rt.last_outputs,
-            stable_planes=rt_sp.last_stable_planes))
+            stable_planes=rt_sp.last_stable_planes,
+            plane_radiance=rt_sp.last_plane_radiance,
+            plane_denoised=rt_sp.last_plane_denoised,
+            den_states=rt_sp.den_states,
+            color=rt.last_outputs.color))
         assert img.shape == (h, w, 3), view
         assert np.isfinite(img).all(), view
+    # per-plane explorer: explicit plane index (DebugViewStablePlaneIndex)
+    for view in ("StablePlaneNormals", "StablePlaneDiffRadiance",
+                 "StablePlaneCombinedRadianceDenoised"):
+        img = np.asarray(debugviews.render_debug_view(
+            view, r.assets, cam2, w, h,
+            stable_planes=rt_sp.last_stable_planes,
+            plane_radiance=rt_sp.last_plane_radiance,
+            plane_denoised=rt_sp.last_plane_denoised,
+            plane_index=1))
+        assert img.shape == (h, w, 3) and np.isfinite(img).all(), view
     info = debugviews.inspect_pixel(r.assets, cam2, w, h, w // 2, h // 2)
     assert info["valid"] and info["prim"] >= 0
 
