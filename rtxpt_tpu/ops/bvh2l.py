@@ -200,30 +200,89 @@ def _use_pallas():
     return up()
 
 
+def _bucketed_interpret() -> bool:
+    """Test hook: run the bucketed-probe kernel in Pallas interpret mode
+    on CPU backends (RTXPT_BVH2L_INTERPRET=1)."""
+    import os
+    return os.environ.get("RTXPT_BVH2L_INTERPRET", "0") == "1"
+
+
 def trace_closest(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
                   active=None) -> Hit:
     n = origins.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
     use_pallas = _use_pallas()
-
-    # nearest-first probe: round 1 sends each ray into ONLY its
-    # min-entry-t overlapped subtree, so best_t is tight before the full
-    # sweep and `tn < best_t` culls most of the remaining K dispatches
-    # (the t-ordered visit the per-thread reference traversal gets for
-    # free from its recursion order)
-    near = jnp.argmin(jnp.where(hit_k, tn_k, jnp.inf), axis=1)
     # probe+sweep only pays off when the sweep has many subtrees to cull
     use_probe = tl.num_subtrees >= 8
+
+    perm = None
+    probed = None
+    interpret = _bucketed_interpret()
+    if use_probe and (use_pallas or interpret):
+        # BUCKETED nearest-first probe: ONE dispatch in which each ray
+        # tile traverses its own nearest overlapped subtree (planes
+        # DMA'd per tile via scalar prefetch). Rays are grouped by
+        # nearest-subtree id first so tiles are (nearly) pure and
+        # consecutive tiles reuse the same planes; the handful of lanes
+        # straddling a group boundary skip the probe and are picked up
+        # by the sweep. best_t is then tight and `entry_t < best_t`
+        # culls almost every sweep dispatch — the t-ordered visit the
+        # reference gets per-thread from DXR recursion order.
+        from .traverse_pallas import (_kernel_tile, _trace_pallas_bucketed)
+        hit_k0, tn_k0 = _top_slabs(tl, origins, dirs, jnp.float32(t_min),
+                                   t_max)
+        near0 = jnp.argmin(jnp.where(hit_k0, tn_k0, jnp.inf), axis=1)
+        overlapped = hit_k0.any(axis=1)
+        # dead / non-overlapping rays sort to the back
+        perm = jnp.argsort(jnp.where(active & overlapped, near0,
+                                     tl.num_subtrees), stable=True)
+        origins = jnp.take(origins, perm, axis=0)
+        dirs = jnp.take(dirs, perm, axis=0)
+        t_max = jnp.take(t_max, perm, axis=0)
+        active = jnp.take(active, perm, axis=0)
+        near = jnp.take(near0, perm, axis=0)
+        ovl = jnp.take(overlapped, perm, axis=0)
+
+        tile = _kernel_tile(tl.rows)
+        n_pad = (max(n, tile) + tile - 1) // tile * tile
+        near_p = jnp.pad(near, (0, n_pad - n))
+        tile_sub = jnp.clip(near_p.reshape(-1, tile)[:, tile // 2],
+                            0, tl.num_subtrees - 1).astype(jnp.int32)
+        lane_sub = jnp.repeat(tile_sub, tile)[:n]
+        probe_act = active & ovl & (near == lane_sub)
+        t_p, prim_p, uv_p = _trace_pallas_bucketed(
+            tl.sub_nodes_t, tl.sub_leaves_t, tile_sub, origins, dirs,
+            t_max, probe_act, rows=tl.rows, leaf_size=tl.leaf_size,
+            any_hit=False, interpret=interpret and not use_pallas)
+        # subtree-local leaf slot -> global triangle id
+        flat_lt = tl.sub_leaf_tris.reshape(-1)
+        stride = tl.rows * tl.leaf_size
+        gl = flat_lt[lane_sub * stride + jnp.maximum(prim_p, 0)]
+        found_p = prim_p >= 0
+        init = (jnp.where(found_p, t_p, t_max),
+                jnp.where(found_p, gl, -1),
+                jnp.where(found_p, uv_p[..., 0], 0.0),
+                jnp.where(found_p, uv_p[..., 1], 0.0))
+        probed = probe_act  # these rays already visited `near`
+        hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min),
+                                 t_max)
+    else:
+        hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min),
+                                 t_max)
+        near = jnp.argmin(jnp.where(hit_k, tn_k, jnp.inf), axis=1)
+        init = (t_max, jnp.full((n,), -1, jnp.int32),
+                jnp.zeros((n,)), jnp.zeros((n,)))
 
     def body(carry, s_probe):
         s, probe = s_probe
         best_t, best_prim, best_u, best_v = carry
         want = active & jnp.take(hit_k, s, axis=1) & \
             (jnp.take(tn_k, s, axis=1) < best_t)
-        if use_probe:
+        if probed is not None:
+            want = want & ~(probed & (near == s))
+        elif use_probe:
             want = want & jnp.where(probe, near == s, near != s)
         if use_pallas:
             from .traverse_pallas import _trace_pallas
@@ -255,19 +314,22 @@ def trace_closest(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
         best_t = jnp.where(found, t, best_t)
         return (best_t, best_prim, best_u, best_v), None
 
-    init = (t_max, jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n,)), jnp.zeros((n,)))
     k = tl.num_subtrees
-    if use_probe:
-        # probe + sweep (2K dispatches, but the sweep is mostly culled)
+    if use_probe and probed is None:
+        # XLA fallback: masked probe + sweep (2K dispatches)
         ss = jnp.concatenate([jnp.arange(k), jnp.arange(k)])
         probe = jnp.concatenate([jnp.ones(k, bool), jnp.zeros(k, bool)])
     else:
-        # few subtrees: the probe's extra dispatches cost more than the
-        # culling saves
+        # bucketed probe already ran (or few subtrees): sweep only
         ss = jnp.arange(k)
         probe = jnp.zeros(k, bool)
     (bt, bp, bu, bv), _ = jax.lax.scan(body, init, (ss, probe))
+    if perm is not None:
+        # back to caller ray order
+        bt = jnp.zeros_like(bt).at[perm].set(bt)
+        bp = jnp.zeros_like(bp).at[perm].set(bp)
+        bu = jnp.zeros_like(bu).at[perm].set(bu)
+        bv = jnp.zeros_like(bv).at[perm].set(bv)
     return Hit(bt, bp, jnp.stack([bu, bv], -1))
 
 

@@ -111,14 +111,19 @@ def _kernel_cond_every(rows: int) -> int:
     return COND_EVERY if rows <= 1024 else 1
 
 
-def _make_kernel(rows: int, leaf_size: int, any_hit: bool):
+def _make_kernel(rows: int, leaf_size: int, any_hit: bool,
+                 stacked: bool = False):
     TILE = _kernel_tile(rows)
     cond_every = _kernel_cond_every(rows)
 
     def kernel(nodes_ref, leaves_ref, o_ref, d_ref, tmax_ref, act_ref,
                t_out, prim_out, u_out, v_out):
-        tab_n = nodes_ref[:]                         # (72, rows) bf16
-        tab_l = leaves_ref[:]                        # (27*ls, rows) bf16
+        if stacked:  # (1, 72, rows) block picked by scalar prefetch
+            tab_n = nodes_ref[0]
+            tab_l = leaves_ref[0]
+        else:
+            tab_n = nodes_ref[:]                     # (72, rows) bf16
+            tab_l = leaves_ref[:]                    # (27*ls, rows) bf16
         ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]    # (TILE,)
         dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
 
@@ -296,6 +301,86 @@ def _trace_pallas(nodes_t, leaves_t, origins, dirs, t_max, active,
                    pl.BlockSpec((1, TILE), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
     )(nodes_t, leaves_t, o, d, tm, ac)
+    uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
+    return t[0, :n], prim[0, :n], uv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rows", "leaf_size", "any_hit",
+                                    "interpret"))
+def _trace_pallas_bucketed(sub_nodes_t, sub_leaves_t, tile_sub, origins,
+                           dirs, t_max, active, rows: int, leaf_size: int,
+                           any_hit: bool, interpret: bool = False):
+    """One-dispatch per-tile-subtree traversal (the two-level probe).
+
+    sub_nodes_t (K, 72, S) / sub_leaves_t (K, 29*ls, S): stacked
+    per-subtree planes. tile_sub (ntiles,) i32: which subtree each
+    TILE-wide ray tile traverses, delivered via scalar prefetch so the
+    BlockSpec index_map DMAs exactly that subtree's planes into VMEM.
+    Rays must arrive pre-sorted/grouped so consecutive tiles share a
+    subtree (repeat index -> no re-fetch). Callers mask `active` down
+    to lanes whose wanted subtree == their tile's tile_sub; everything
+    else is the sweep's job (ops/bvh2l.trace_closest).
+
+    Replaces the K-dispatch nearest-first probe round: the reference
+    gets t-ordered traversal per thread from DXR recursion
+    (RTXPT/PathTracerBridgeDonut.hlsli:703); here one Pallas dispatch
+    visits each ray's nearest subtree first so the sweep's
+    `entry_t < best_t` cull kills almost all remaining dispatches.
+    """
+    n = origins.shape[0]
+    TILE = _kernel_tile(rows)
+    n_pad = _round_up(max(n, TILE), TILE)
+    pad = n_pad - n
+    o = jnp.pad(origins, ((0, pad), (0, 0))).T
+    d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0).T
+    tm = jnp.pad(t_max, (0, pad))[None, :]
+    ac = jnp.pad(active.astype(jnp.int32), (0, pad))[None, :]
+
+    base = _make_kernel(rows, leaf_size, any_hit, stacked=True)
+
+    def kernel(ts_ref, nodes_ref, leaves_ref, o_ref, d_ref, tmax_ref,
+               act_ref, t_out, prim_out, u_out, v_out):
+        del ts_ref  # consumed by the index_maps
+        base(nodes_ref, leaves_ref, o_ref, d_ref, tmax_ref, act_ref,
+             t_out, prim_out, u_out, v_out)
+
+    ls = leaf_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((1, 72, rows), lambda i, ts: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 29 * ls, rows), lambda i, ts: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i, ts: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i, ts: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, ts: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, ts: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, TILE), lambda i, ts: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i, ts: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i, ts: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TILE), lambda i, ts: (0, i),
+                                memory_space=pltpu.VMEM)),
+    )
+    t, prim, u, v = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_sub, sub_nodes_t, sub_leaves_t, o, d, tm, ac)
     uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
     return t[0, :n], prim[0, :n], uv
 

@@ -54,6 +54,37 @@ def test_two_level_dispatch_via_traverse():
     assert np.asarray(h.prim).max() >= 0
 
 
+def test_bucketed_probe_matches_flat(monkeypatch):
+    """The one-dispatch scalar-prefetch probe (sorted rays, per-tile
+    subtree planes) + culled sweep must agree with the flat traversal
+    bit-for-bit on t."""
+    monkeypatch.setenv("RTXPT_BVH2L_INTERPRET", "1")
+    host, pos, idx, o, d = _scene_and_rays(2048)
+    b2 = bvh_mod.build_bvh(host["positions"], host["indices"])
+    b8 = bvh_mod.collapse_bvh8(b2, pos, idx)
+    soup = TriSoup.build(pos, idx, b2.order)
+    tl = bvh2l.build_two_level(host["positions"], host["indices"],
+                               cap_tris=300)
+    assert tl.num_subtrees >= 8, tl.num_subtrees  # probe engages
+
+    h_flat = traverse.trace_closest(b8, soup, o, d)
+    h_tl = bvh2l.trace_closest(tl, o, d)
+    pf = np.asarray(h_flat.prim)
+    pt = np.asarray(h_tl.prim)
+    np.testing.assert_allclose(np.asarray(h_tl.t)[pf >= 0],
+                               np.asarray(h_flat.t)[pf >= 0], rtol=1e-4)
+    assert (pf >= 0).sum() == (pt >= 0).sum()
+    assert (pf == pt).mean() > 0.995
+    # partially-active wavefront (the integrator's normal case)
+    act = jnp.asarray(np.arange(2048) % 3 != 0)
+    h_act = bvh2l.trace_closest(tl, o, d, active=act)
+    pa = np.asarray(h_act.prim)
+    assert (pa[~np.asarray(act)] == -1).all()
+    keep = np.asarray(act) & (pf >= 0)
+    np.testing.assert_allclose(np.asarray(h_act.t)[keep],
+                               np.asarray(h_flat.t)[keep], rtol=1e-4)
+
+
 def test_city_scene_builds_two_level():
     host = procedural.build_city(blocks=3, subdivisions=1).finish()
     tl = bvh2l.build_two_level(host["positions"], host["indices"])
