@@ -61,6 +61,9 @@ def build_arg_parser():
                    help="overlay the traced bounce chain of pixel X,Y "
                    "as debug lines on the output (the reference's "
                    "pick-pixel DebugLines visualization)")
+    p.add_argument("--debug-print-pixel", default=None, metavar="X,Y",
+                   help="print the DebugPrint slot table for pixel X,Y "
+                   "(ShaderDebug.hlsli Print + feedback readback)")
     p.add_argument("--debug-view", default=None,
                    help="render a debug channel instead of the beauty "
                    "pass (ShaderDebug DebugViewType equivalent); see "
@@ -270,6 +273,14 @@ def main(argv=None) -> int:
         print(f"rendered {args.width}x{args.height} @ {spp}spp in "
               f"{total:.1f}s; steady-state {steady * 1000:.0f} ms/sample "
               f"({n_rays / max(steady, 1e-9) / 1e6:.2f} Mpaths/s)")
+
+    if args.debug_print_pixel:
+        from ..utils import debugprint as DP
+        import jax.numpy as jnp
+        dx, dy = (int(v) for v in args.debug_print_pixel.split(","))
+        cam_dp = cam._replace(viewport=jnp.asarray(
+            [args.width, args.height], jnp.float32))
+        print(DP.format_slots(DP.print_path(r.assets, cam_dp, dx, dy)))
 
     if args.debug_lines_pixel:
         from ..utils import debuglines as DL

@@ -100,3 +100,20 @@ def test_debug_lines_overlay():
     assert int(np.asarray(buf2.count)) == 12
     out2 = np.asarray(DL.rasterize_overlay(img, buf2, cam))
     assert out2.max() > 0.0
+
+
+def test_debug_print_slots():
+    """DebugPrint slot buffer (ShaderDebug.hlsli Print analog): the
+    picked pixel's path fills a bounded float4 slot table."""
+    from rtxpt_tpu.utils import debugprint as DP
+    r = _setup()
+    cam = r.camera._replace(viewport=jnp.asarray([W, H], jnp.float32))
+    slots = DP.print_path(r.assets, cam, W // 2, H // 2, max_bounces=2)
+    assert 2 <= len(slots) <= DP.MAX_DEBUG_PRINT_SLOTS
+    assert slots[0]["label"] == "pixel"
+    assert slots[1]["label"].startswith("v0.")
+    if slots[1]["label"] == "v0.hit":
+        t, prim, mid, rough = slots[1]["value"]
+        assert t > 0 and prim >= 0 and 0.0 <= rough <= 1.0
+    txt = DP.format_slots(slots)
+    assert "v0." in txt and "slots" in txt
