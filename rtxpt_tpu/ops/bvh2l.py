@@ -339,11 +339,53 @@ def trace_anyhit(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
     use_pallas = _use_pallas()
+    interpret = _bucketed_interpret()
+    use_probe = tl.num_subtrees >= 8 and (use_pallas or interpret)
+
+    perm = None
+    probed = None
+    if use_probe:
+        # bucketed occluder probe: most shadow rays find their blocker
+        # in the nearest overlapped subtree, so one scalar-prefetch
+        # dispatch (sorted-ray tiles, per-tile planes) settles them and
+        # the sweep only runs the unresolved remainder with coherent
+        # (mostly dead) tiles.
+        from .traverse_pallas import (_kernel_tile, _trace_pallas_bucketed)
+        hit_k0, tn_k0 = _top_slabs(tl, origins, dirs, jnp.float32(t_min),
+                                   t_max)
+        near0 = jnp.argmin(jnp.where(hit_k0, tn_k0, jnp.inf), axis=1)
+        overlapped = hit_k0.any(axis=1)
+        perm = jnp.argsort(jnp.where(active & overlapped, near0,
+                                     tl.num_subtrees), stable=True)
+        origins = jnp.take(origins, perm, axis=0)
+        dirs = jnp.take(dirs, perm, axis=0)
+        t_max = jnp.take(t_max, perm, axis=0)
+        active = jnp.take(active, perm, axis=0)
+        near = jnp.take(near0, perm, axis=0)
+        ovl = jnp.take(overlapped, perm, axis=0)
+
+        tile = _kernel_tile(tl.rows)
+        n_pad = (max(n, tile) + tile - 1) // tile * tile
+        near_p = jnp.pad(near, (0, n_pad - n))
+        tile_sub = jnp.clip(near_p.reshape(-1, tile)[:, tile // 2],
+                            0, tl.num_subtrees - 1).astype(jnp.int32)
+        lane_sub = jnp.repeat(tile_sub, tile)[:n]
+        probe_act = active & ovl & (near == lane_sub)
+        _, prim_p, _ = _trace_pallas_bucketed(
+            tl.sub_nodes_t, tl.sub_leaves_t, tile_sub, origins, dirs,
+            t_max, probe_act, rows=tl.rows, leaf_size=tl.leaf_size,
+            any_hit=True, interpret=interpret and not use_pallas)
+        found0 = prim_p >= 0
+        probed = probe_act
+    else:
+        found0 = jnp.zeros((n,), bool)
+    hit_k, tn_k = _top_slabs(tl, origins, dirs, jnp.float32(t_min), t_max)
 
     def body(found, s):
         want = active & ~found & jnp.take(hit_k, s, axis=1)
+        if probed is not None:
+            want = want & ~(probed & (near == s))
         if use_pallas:
             from .traverse_pallas import _trace_pallas
             nodes_s = jax.lax.dynamic_index_in_dim(
@@ -364,6 +406,7 @@ def trace_anyhit(tl: BVH8TwoLevel, origins, dirs, t_min=0.0, t_max=1e30,
                 leaf_size=tl.leaf_size, any_hit=True, leaf_omm=omm_s)
         return found | (prim >= 0), None
 
-    found, _ = jax.lax.scan(body, jnp.zeros((n,), bool),
-                            jnp.arange(tl.num_subtrees))
+    found, _ = jax.lax.scan(body, found0, jnp.arange(tl.num_subtrees))
+    if perm is not None:
+        found = jnp.zeros_like(found).at[perm].set(found)
     return found

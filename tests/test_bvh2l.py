@@ -83,6 +83,10 @@ def test_bucketed_probe_matches_flat(monkeypatch):
     keep = np.asarray(act) & (pf >= 0)
     np.testing.assert_allclose(np.asarray(h_act.t)[keep],
                                np.asarray(h_flat.t)[keep], rtol=1e-4)
+    # bucketed occluder probe: anyhit parity with the flat kernel
+    a_flat = np.asarray(traverse.trace_anyhit(b8, soup, o, d, t_max=6.0))
+    a_tl = np.asarray(bvh2l.trace_anyhit(tl, o, d, t_max=6.0))
+    assert (a_flat == a_tl).all()
 
 
 def test_city_scene_builds_two_level():
