@@ -40,15 +40,11 @@ def _surface_bsdf(gb: GBuffer):
     return shading.make_wavefront_bsdf(gb.surface)
 
 
-def eval_target(assets, gb: GBuffer, light, uv):
-    """Unshadowed target p_hat = luminance(f * Li * G) for a reservoir
-    sample at the pixel surface; also returns shading terms for reuse.
-    light/uv: reservoir encoding (see reservoir.py)."""
+def _light_radiance(assets, gb: GBuffer, light, uv):
+    """Li, direction, distance for a reservoir-encoded light sample."""
     sd = gb.surface.sd
     lt = assets.lights
-
     is_env = light == LIGHT_ENV
-    is_local = light >= 0
 
     # --- local light sample at fixed uv (all polymorphic kinds:
     # triangle/sphere area samples, point/directional delta)
@@ -71,6 +67,15 @@ def eval_target(assets, gb: GBuffer, light, uv):
     direction = jnp.where(is_env[..., None], dir_env, dir_local)
     distance = jnp.where(is_env, mu.K_MAX_RAY_TRAVEL, dist_local)
     li = jnp.where(is_env[..., None], li_env, li_v)
+    return li, direction, distance
+
+
+def eval_target(assets, gb: GBuffer, light, uv):
+    """Unshadowed target p_hat = luminance(f * Li * G) for a reservoir
+    sample at the pixel surface; also returns shading terms for reuse.
+    light/uv: reservoir encoding (see reservoir.py)."""
+    sd = gb.surface.sd
+    li, direction, distance = _light_radiance(assets, gb, light, uv)
 
     bsdf = _surface_bsdf(gb)
     wi = sd.to_local(sd.v)
@@ -81,6 +86,41 @@ def eval_target(assets, gb: GBuffer, light, uv):
     p_hat = mu.luminance(contrib_d + contrib_s)
     p_hat = jnp.where(gb.valid & (light != LIGHT_INVALID), p_hat, 0.0)
     return p_hat, contrib_d, contrib_s, direction, distance
+
+
+def eval_target_cheap(assets, gb: GBuffer, light, uv):
+    """Resampling-only target: Lambert + GGX-D + transmission floor on
+    lobe luminances — the reference's cheap surface-BRDF target
+    (RTXDI RAB_GetLightSampleTargetPdfForSurface,
+    RTXPT/RTXDI/ShaderParameters.h usage in RtxdiApplicationBridge)
+    instead of the full FalcorBSDF eval. RIS/MIS stay unbiased for ANY
+    nonnegative target used consistently across candidate/temporal/
+    spatial stages (W = w_sum / (M * target) cancels the choice); the
+    full BSDF runs once in final_shade. Positivity is conservative:
+    every lobe family (diffuse, specular incl. delta via an alpha
+    floor, diffuse/specular transmission) contributes a term, so no
+    direction with nonzero true f gets a zero target. Returns p_hat
+    only."""
+    sd = gb.surface.sd
+    li, direction, _ = _light_radiance(assets, gb, light, uv)
+
+    b = _surface_bsdf(gb)
+    wi = sd.to_local(sd.v)
+    wo = sd.to_local(direction)
+    wo_z = wo[..., 2]
+    h = mu.safe_normalize(wi + wo)
+    ndoth = jnp.clip(h[..., 2], 0.0, 1.0)
+    # alpha floor keeps near/exact-delta speculars selectable
+    a2 = jnp.maximum(b.alpha, 0.04) ** 2
+    d_ggx = a2 / (jnp.pi * jnp.square(ndoth * ndoth * (a2 - 1.0) + 1.0))
+    trans_amt = jnp.maximum(b.diff_trans, b.spec_trans)
+    f_r = ((1.0 - trans_amt) * mu.luminance(b.diff_albedo) / jnp.pi
+           + mu.luminance(b.spec_albedo) * d_ggx * 0.25) \
+        * jnp.maximum(wo_z, 0.0)
+    f_t = trans_amt * jnp.maximum(mu.luminance(b.trans_albedo), 0.25) \
+        * jnp.maximum(-wo_z, 0.0) / jnp.pi
+    p_hat = mu.luminance(li) * (f_r + f_t)
+    return jnp.where(gb.valid & (light != LIGHT_INVALID), p_hat, 0.0)
 
 
 class RISTiles(NamedTuple):
@@ -193,7 +233,7 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
             light = jnp.round(row[..., 0]).astype(jnp.int32)
             uv = row[..., 1:3]
             inv_pdf = row[..., 3]
-            p_hat, _, _, _, _ = eval_target(assets, gb, light, uv)
+            p_hat = eval_target_cheap(assets, gb, light, uv)
             w = p_hat * inv_pdf
             r = update(r, light, uv, w, p_hat, u2[..., 1])
         return r
@@ -220,7 +260,7 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
                       1.0 / jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-9),
                       1.0))
         src_pdf = pick_pdf * inv_area
-        p_hat, _, _, _, _ = eval_target(assets, gb, li_idx, uv)
+        p_hat = eval_target_cheap(assets, gb, li_idx, uv)
         w = jnp.where(src_pdf > 0, p_hat / jnp.maximum(src_pdf, 1e-20),
                       0.0)
         r = update(r, li_idx, uv, w, p_hat, u_sel)
@@ -231,7 +271,7 @@ def generate_candidates(assets, gb: GBuffer, px, py, sample_index,
         d, pdf, le = EM.sample_importance(assets.env, u2)
         uv = mu.encode_oct(d)
         light = jnp.full((n,), LIGHT_ENV, jnp.int32)
-        p_hat, _, _, _, _ = eval_target(assets, gb, light, uv)
+        p_hat = eval_target_cheap(assets, gb, light, uv)
         w = jnp.where(pdf > 0, p_hat / jnp.maximum(pdf, 1e-20), 0.0)
         r = update(r, light, uv, w, p_hat, u_sel)
     return r
@@ -288,7 +328,7 @@ def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
     pr = pr._replace(m=jnp.where(sim, m_clamped, 0.0),
                      light=jnp.where(sim, pr.light, LIGHT_INVALID))
     # re-evaluate prev sample's target at the current pixel
-    p_hat, _, _, _, _ = eval_target(assets, gb, pr.light, pr.uv)
+    p_hat = eval_target_cheap(assets, gb, pr.light, pr.uv)
     out = merge(cur, pr, p_hat, u)
     return boiling_filter(out, width, rows)
 
@@ -375,7 +415,7 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
         sim = _geometry_similar(gb, normal2[flat], z2[flat])
         nb = nb._replace(m=jnp.where(sim, nb.m, 0.0),
                          light=jnp.where(sim, nb.light, LIGHT_INVALID))
-        p_hat, _, _, _, _ = eval_target(assets, gb, nb.light, nb.uv)
+        p_hat = eval_target_cheap(assets, gb, nb.light, nb.uv)
         r = merge(r, nb, p_hat, u)
         tap_flats.append(flat)
         tap_ms.append(nb.m)
@@ -383,11 +423,11 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
         return r
     # ---- 1/Z normalization over participating pixels
     # center's own support for the SELECTED sample
-    p_c, _, _, _, _ = eval_target(assets, gb, r.light, r.uv)
+    p_c = eval_target_cheap(assets, gb, r.light, r.uv)
     z = m_center * (p_c > 0.0)
     for flat, m_q in zip(tap_flats, tap_ms):
         gb_q = jax.tree_util.tree_map(lambda a: a[flat], gb)
-        p_q, _, _, _, _ = eval_target(assets, gb_q, r.light, r.uv)
+        p_q = eval_target_cheap(assets, gb_q, r.light, r.uv)
         z = z + m_q * (p_q > 0.0)
     return r._replace(m=jnp.maximum(z, 1.0))
 
@@ -440,10 +480,10 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
         sim = _geometry_similar(gb, gb.normal[flat], gb.view_z[flat]) & \
             (nb.light != LIGHT_INVALID)
         # p_c(y_i): neighbor sample at the center surface
-        ph_ci, _, _, _, _ = eval_target(assets, gb, nb.light, nb.uv)
+        ph_ci = eval_target_cheap(assets, gb, nb.light, nb.uv)
         # p_i(y_c): canonical sample at the neighbor surface
         gb_i = jax.tree_util.tree_map(lambda a: a[flat], gb)
-        ph_ic, _, _, _, _ = eval_target(assets, gb_i, cur.light, cur.uv)
+        ph_ic = eval_target_cheap(assets, gb_i, cur.light, cur.uv)
         ph_ii = nb.target                    # cached p_i(y_i)
         mi = jnp.where(
             sim, ph_ii * nb.m / jnp.maximum(ph_ii * nb.m

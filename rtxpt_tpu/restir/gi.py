@@ -73,6 +73,34 @@ def eval_target(gb: GBuffer, pos, normal, radiance, valid):
     return p_hat, cd, cs, direction, dist
 
 
+def eval_target_cheap(gb: GBuffer, pos, normal, radiance, valid):
+    """Resampling-only GI target: Lambert + GGX-D + transmission floor
+    (same cheap surface-BRDF family as di.eval_target_cheap; RIS/MIS
+    stay unbiased for any consistently-used nonnegative target, and the
+    full BSDF runs once in final_shade). Returns p_hat only."""
+    from ..pt import shading
+    sd = gb.surface.sd
+    to_s = pos - sd.pos
+    dist_sq = jnp.maximum(jnp.sum(to_s * to_s, -1), 1e-9)
+    direction = to_s / jnp.sqrt(dist_sq)[..., None]
+    b = shading.make_wavefront_bsdf(gb.surface)
+    wi = sd.to_local(sd.v)
+    wo = sd.to_local(direction)
+    wo_z = wo[..., 2]
+    h = mu.safe_normalize(wi + wo)
+    ndoth = jnp.clip(h[..., 2], 0.0, 1.0)
+    a2 = jnp.maximum(b.alpha, 0.04) ** 2
+    d_ggx = a2 / (jnp.pi * jnp.square(ndoth * ndoth * (a2 - 1.0) + 1.0))
+    trans_amt = jnp.maximum(b.diff_trans, b.spec_trans)
+    f_r = ((1.0 - trans_amt) * mu.luminance(b.diff_albedo) / jnp.pi
+           + mu.luminance(b.spec_albedo) * d_ggx * 0.25) \
+        * jnp.maximum(wo_z, 0.0)
+    f_t = trans_amt * jnp.maximum(mu.luminance(b.trans_albedo), 0.25) \
+        * jnp.maximum(-wo_z, 0.0) / jnp.pi
+    p_hat = mu.luminance(radiance) * (f_r + f_t)
+    return jnp.where(gb.valid & valid, p_hat, 0.0)
+
+
 def _jacobian(gb_pos, sample: GIReservoir, src_receiver_pos):
     """Solid-angle reconnection Jacobian |J(q->r)| (ReSTIR GI eq. 11)."""
     def geo(recv):
@@ -88,7 +116,7 @@ def make_initial(gb: GBuffer, sec_pos, sec_normal, sec_found, lo,
                  src_pdf) -> GIReservoir:
     """Wrap the path-traced secondary sample as a 1-candidate reservoir
     (candidate pdf = the primary BSDF sampling pdf in solid angle)."""
-    p_hat, _, _, _, _ = eval_target(gb, sec_pos, sec_normal, lo, sec_found)
+    p_hat = eval_target_cheap(gb, sec_pos, sec_normal, lo, sec_found)
     w = jnp.where(sec_found & (src_pdf > 0.0),
                   p_hat / jnp.maximum(src_pdf, 1e-20), 0.0)
     return GIReservoir(pos=sec_pos, normal=sec_normal, radiance=lo,
@@ -144,7 +172,7 @@ def temporal_resample(gb: GBuffer, cur: GIReservoir,
          < 0.1 * jnp.maximum(gb.view_z, 1e-3))
     pr = pr._replace(m=jnp.where(sim, jnp.minimum(
         pr.m, GI_TEMPORAL_M_CLAMP), 0.0), valid=pr.valid & sim)
-    p_hat, _, _, _, _ = eval_target(gb, pr.pos, pr.normal, pr.radiance,
+    p_hat = eval_target_cheap(gb, pr.pos, pr.normal, pr.radiance,
                                     pr.valid)
     # temporal reuse is same-point reconnection -> Jacobian ~ 1
     return boiling_filter(_merge(cur, pr, p_hat, jnp.ones_like(p_hat), u),
@@ -203,7 +231,7 @@ def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
              < 0.1 * jnp.maximum(gb.view_z, 1e-3))
         nb = nb._replace(m=jnp.where(sim, nb.m, 0.0),
                          valid=nb.valid & sim)
-        p_hat, _, _, _, _ = eval_target(gb, nb.pos, nb.normal,
+        p_hat = eval_target_cheap(gb, nb.pos, nb.normal,
                                         nb.radiance, nb.valid)
         jac = jnp.clip(_jacobian(gb.pos, nb, pos2[flat]), 0.0, 10.0)
         r = _merge(r, nb, p_hat, jac, u)
