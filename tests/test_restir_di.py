@@ -48,6 +48,29 @@ def test_boiling_filter_kills_outliers():
     assert keep.sum() >= n - 16 * 16  # at most its block is affected
 
 
+def test_restir_di_fast_bias_gate():
+    """Default-tier ReSTIR DI bias gate (VERDICT r3 next #6): tiny-scale
+    averaged ReSTIR DI vs reference mode. Loose threshold — it exists to
+    catch gross estimator breakage in the default suite; the tight A/B
+    stays in the slow tier below."""
+    host = procedural.build_programmer_art().finish()
+    cam = procedural.default_camera(32, 24)
+    spp = 8
+    ref = np.asarray(Renderer(host, cam, reference_config(
+        max_bounces=2, max_diffuse_bounces=1)).render(32, 24, spp))
+    cfg = realtime_config(use_restir_di=True, use_restir_gi=False,
+                          denoiser_enabled=False, use_stable_planes=False,
+                          max_bounces=2, max_diffuse_bounces=1)
+    r = RealtimeRenderer(host, cam, cfg)
+    acc = np.zeros_like(ref)
+    for _ in range(spp):
+        acc += np.asarray(r.render_frame(32, 24, taa=False,
+                                         denoise=False))
+    acc /= spp
+    rel = abs(acc.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.35, (acc.mean(), ref.mean(), rel)
+
+
 @pytest.mark.slow
 def test_restir_di_unbiased_vs_reference():
     """Bias A/B (VERDICT item 6 'Done'): averaged ReSTIR DI frames on a

@@ -116,12 +116,12 @@ def test_build_psr_mirror_chain():
     assert psr > 0.3, psr
 
 
-@pytest.mark.slow
 def test_stable_fill_fast_gate():
-    """Reduced fast-tier A/B (ADVICE r2): the stable-planes FILL
-    estimator vs reference mode at tiny scale — catches gross estimator
-    regressions in the default suite; the full-strength version below
-    stays in the slow tier."""
+    """Reduced fast-tier A/B (ADVICE r2, VERDICT r3 weak #4): the
+    stable-planes FILL estimator vs reference mode at tiny scale — this
+    MUST run in the default tier (no slow marker) so the default suite
+    contains an estimator-correctness gate; the full-strength version
+    below stays in the slow tier."""
     host = procedural.build_programmer_art().finish()
     cam = procedural.default_camera(32, 24)
     spp = 6
