@@ -2,17 +2,23 @@
 real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-secondary keys (realtime ms/frame at 1080p and a small-res control) so
-every round records the BASELINE realtime metric too (VERDICT r2 #2).
-
-Measured:
-  * value: steady-state full-material reference-mode samples/sec at
-    800x600 on the programmer-art scene (BASELINE configs 1-3 class
-    workload), reported as Mpaths/s (one path = one full multi-bounce
-    sample incl. NEE shadow rays).
-  * realtime_ms_per_frame_1080p / _360p: steady-state frame time of the
+secondary keys so every round records the BASELINE realtime metric too:
+  * mrays_per_sec + rays_per_path: BASELINE.json's metric string is
+    "Mrays/sec + ms/frame" — closest+anyhit rays are counted inside the
+    bounce loop (integrator.render_wavefront_counted) for the exact
+    timed workload (VERDICT r3 next #7).
+  * realtime_ms_per_frame_360p / _1080p: steady-state frame time of the
     default realtime pipeline (ReSTIR DI/GI + denoiser + TAA), matching
     the reference's frame-time contract (RTXPT/Sample.cpp:843-850).
+  * stage_ms: coarse per-stage decomposition (NEE delta via a no-NEE
+    variant; realtime stage-2 from the renderer's 2-dispatch split).
+  * realtime_ms_per_frame_city_1080p: Bistro-class scene through the
+    two-level/instanced path (BASELINE config 5; VERDICT r3 next #4).
+
+Measured value: steady-state full-material reference-mode samples/sec at
+800x600 on the programmer-art scene (BASELINE configs 1-3 class
+workload), reported as Mpaths/s (one path = one full multi-bounce sample
+incl. NEE shadow rays).
 
 vs_baseline: ratio against the driver-mandated end target of 30 fps at
 1080p 1spp realtime (BASELINE.md config 5) = 62.2 Mpaths/s. No reference-
@@ -31,13 +37,13 @@ RT_ITERS = 6
 TARGET_PATHS_PER_SEC = 1920 * 1080 * 30  # 62.2M (config 5 goal)
 
 
-def _realtime_ms(host, w, h, frames):
+def _realtime_ms(host, w, h, frames, env=None, cam=None):
     """Steady-state ms/frame of the default realtime pipeline."""
     import numpy as np
     from rtxpt_tpu.models.realtime import RealtimeRenderer
     from rtxpt_tpu.scene import procedural
-    cam = procedural.default_camera(w, h)
-    r = RealtimeRenderer(host, cam)
+    cam = cam or procedural.default_camera(w, h)
+    r = RealtimeRenderer(host, cam, env_radiance=env)
     np.asarray(r.render_frame(w, h))     # compile (no-history variant)
     np.asarray(r.render_frame(w, h))     # compile (history variant)
     t0 = time.time()
@@ -72,17 +78,64 @@ def main():
     paths_per_sec = WIDTH * HEIGHT / dt
 
     extras = {}
-    # realtime measurements respect a wall-clock budget so the driver
+    budget = float(os.environ.get("RTXPT_BENCH_BUDGET_S", "2400"))
+    t_start = time.time()
+    left = lambda: budget - (time.time() - t_start)
+
+    # ---- Mrays/s for the exact timed workload (BASELINE.json metric).
+    # The counted variant shares the regen program structure; rays are
+    # summed inside the bounce loop, so this is measured, not estimated.
+    try:
+        import functools
+        import jax
+        from rtxpt_tpu import config as C
+        from rtxpt_tpu.models.renderer import r2_jitter
+        from rtxpt_tpu.pt import integrator
+        px, py = r._pixel_grid(WIDTH, HEIGHT)
+        cam_j = r.camera._replace(
+            jitter=np.asarray(r2_jitter(0), np.float32),
+            viewport=np.asarray([WIDTH, HEIGHT], np.float32))
+        consts = C.default_constants(sample_base_index=0)
+        counted = jax.jit(functools.partial(
+            integrator.render_wavefront_counted, cfg=cfg, spp=ITERS))
+        _, rays = counted(r.assets, cam_j, px, py, consts)
+        rays = np.asarray(rays)            # [closest, anyhit] for ITERS spp
+        rays_total = float(rays.sum())
+        extras["rays_per_path"] = round(rays_total
+                                        / (WIDTH * HEIGHT * ITERS), 3)
+        extras["mrays_per_sec"] = round(rays_total / (dt * ITERS) / 1e6, 3)
+        extras["rays_closest_frac"] = round(float(rays[0]) / rays_total, 3)
+    except Exception as e:
+        extras["mrays_error"] = repr(e)[:200]
+
+    # ---- coarse stage decomposition: NEE share via a no-NEE variant
+    if os.environ.get("RTXPT_BENCH_SKIP_STAGES", "0") != "1" and \
+            left() > budget * 0.7:
+        try:
+            import dataclasses
+            r2 = Renderer(host, cam,
+                          dataclasses.replace(cfg, nee_enabled=False),
+                          env_radiance=EM.bake_procedural_sky(height=64))
+            np.asarray(r2.render(WIDTH, HEIGHT, ITERS))
+            t0 = time.time()
+            np.asarray(r2.render(WIDTH, HEIGHT, ITERS))
+            no_nee_ms = (time.time() - t0) / ITERS * 1e3
+            extras["stage_ms"] = {
+                "sample_total": round(dt * 1e3, 1),
+                "trace_plus_shade": round(no_nee_ms, 1),
+                "nee": round(dt * 1e3 - no_nee_ms, 1)}
+        except Exception as e:
+            extras["stage_error"] = repr(e)[:200]
+
+    # realtime measurements respect the wall-clock budget so the driver
     # always gets the JSON line even on a cold compile cache (the
     # stable-planes frame compiles take minutes on the tunnel; the
     # persistent cache makes later runs cheap)
-    budget = float(os.environ.get("RTXPT_BENCH_BUDGET_S", "2400"))
-    t_start = time.time()
     if os.environ.get("RTXPT_BENCH_SKIP_REALTIME", "0") != "1":
         try:
             extras["realtime_ms_per_frame_360p"] = round(
                 _realtime_ms(host, 640, 360, RT_ITERS), 1)
-            if time.time() - t_start < budget * 0.6:
+            if left() > budget * 0.4:
                 extras["realtime_ms_per_frame_1080p"] = round(
                     _realtime_ms(host, 1920, 1080, RT_ITERS), 1)
                 extras["realtime_fps_1080p"] = round(
@@ -90,7 +143,19 @@ def main():
             else:
                 extras["realtime_1080p"] = "skipped (bench budget)"
         except Exception as e:                      # keep the primary
-            extras["realtime_error"] = repr(e)[:200]  # metric alive
+            extras["realtime_error"] = repr(e)[:300]  # metric alive
+
+    # ---- Bistro-class city scene at 1080p (BASELINE config 5 class):
+    # forces the two-level/instanced BVH path, not the dense-MT tier
+    if os.environ.get("RTXPT_BENCH_SKIP_CITY", "0") != "1" and \
+            left() > budget * 0.25:
+        try:
+            city = procedural.build_city().finish()
+            extras["realtime_ms_per_frame_city_1080p"] = round(
+                _realtime_ms(city, 1920, 1080, max(RT_ITERS // 2, 2),
+                             cam=procedural.city_camera(1920, 1080)), 1)
+        except Exception as e:
+            extras["city_error"] = repr(e)[:300]
 
     print(json.dumps({
         "metric": "reference-mode path throughput (800x600, full BSDF, "

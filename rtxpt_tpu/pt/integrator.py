@@ -184,10 +184,25 @@ def render_wavefront(assets: RenderAssets, cam: CameraData, px, py,
                         sub_sample_index=sub_sample_index, spp=spp)
 
 
+def render_wavefront_counted(assets: RenderAssets, cam: CameraData, px,
+                             py, consts: PTConstants, *, cfg: PTConfig,
+                             sub_sample_index=0, spp: int = 1):
+    """render_wavefront + ray statistics: returns (radiance, rays) where
+    rays = [closest-hit rays, anyhit/visibility rays] actually cast
+    (active lanes only). Feeds bench.py's Mrays/s (the BASELINE.json
+    metric; the reference counts the same per-frame DispatchRays work,
+    RTXPT/Sample.cpp:843-850)."""
+    path0 = init_paths(cam, px, py, cfg, consts, sub_sample_index)
+    return render_paths(assets, cam, path0, consts, cfg=cfg,
+                        sub_sample_index=sub_sample_index, spp=spp,
+                        return_ray_stats=True)
+
+
 def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                  consts: PTConstants, *, cfg: PTConfig,
                  sub_sample_index=0, capture_first_hit: bool = False,
-                 injected_hit=None, spp: int = 1):
+                 injected_hit=None, spp: int = 1,
+                 return_ray_stats: bool = False):
     """Run the bounce loop from an arbitrary initial PathState (used by
     the realtime FILL pass to continue paths from the primary surface,
     PathTracerStablePlanes firstHitFromBasePlane semantics).
@@ -221,7 +236,12 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                         path.vertex_index.astype(jnp.uint32), base)
 
     def body(carry, hit_override=None):
-        path, it, first, _, s_arr, accum = carry
+        path, it, first, _, s_arr, accum, rays = carry
+        # ray accounting (BASELINE.json metric "Mrays/sec": closest-hit
+        # rays in slot 0, anyhit/visibility rays in slot 1); two scalar
+        # reductions per bounce — negligible next to the trace itself
+        if hit_override is None:
+            rays = rays.at[0].add(jnp.sum(path.active.astype(jnp.float32)))
         nb = path.px.shape[0]   # width-agnostic: the tail-compacted
         #                         narrow loop re-traces this body at a
         #                         smaller wavefront width
@@ -512,6 +532,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             all_d = jnp.concatenate(nee_dirs, axis=0)
             all_t = jnp.concatenate(nee_dists, axis=0) * (1.0 - 1e-4)
             all_act = jnp.concatenate(nee_pdf, axis=0)
+            rays = rays.at[1].add(jnp.sum(all_act.astype(jnp.float32)))
             from . import visibility as VIS
             occluded = VIS.trace_visibility(
                 assets, all_o, all_d, t_min=0.0, t_max=all_t,
@@ -747,7 +768,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             lane0 = carry[3][perm]
         else:
             lane0 = carry[3]
-        return (new_path, it + 1, first, lane0, s_arr, accum)
+        return (new_path, it + 1, first, lane0, s_arr, accum, rays)
 
     def cond(carry):
         path, it = carry[0], carry[1]
@@ -764,7 +785,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     path0 = jax.tree_util.tree_map(lambda a: a[perm0], path0)
     lane0 = perm0.astype(jnp.int32)
     carry = (path0, jnp.asarray(0, jnp.int32), first0, lane0,
-             jnp.zeros((n,), jnp.int32), jnp.zeros((n, 3), jnp.float32))
+             jnp.zeros((n,), jnp.int32), jnp.zeros((n, 3), jnp.float32),
+             jnp.zeros((2,), jnp.float32))
     if injected_hit is not None:
         # FILL resumes from the BUILD-stored plane-0 base hit without
         # re-tracing the camera->base chain (firstHitFromBasePlane,
@@ -796,22 +818,22 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                 ((it < k_min) | (live > n_small))
 
         carry = jax.lax.while_loop(cond_a, body, carry)
-        path_a, it_a, first_a, lane0_a, s_a, accum_a = carry
+        path_a, it_a, first_a, lane0_a, s_a, accum_a, rays_a = carry
         perm = jnp.argsort(~path_a.active, stable=True)[:n_small]
         gath = lambda a: a[perm]
         carry_n = (jax.tree_util.tree_map(gath, path_a), it_a,
                    jax.tree_util.tree_map(gath, first_a),
-                   lane0_a[perm], s_a[perm], accum_a[perm])
-        path_n, _, first_n, _, _, _ = jax.lax.while_loop(cond, body,
-                                                         carry_n)
+                   lane0_a[perm], s_a[perm], accum_a[perm], rays_a)
+        path_n, _, first_n, _, _, _, rays = jax.lax.while_loop(cond, body,
+                                                               carry_n)
         put = lambda full, nar: full.at[perm].set(nar)
         path = jax.tree_util.tree_map(put, path_a, path_n)
         first = jax.tree_util.tree_map(put, first_a, first_n)
         lane0 = lane0_a      # the narrow loop never permutes (sort none)
         accum = accum_a
     else:
-        path, _, first, lane0, _, accum = jax.lax.while_loop(cond, body,
-                                                             carry)
+        path, _, first, lane0, _, accum, rays = jax.lax.while_loop(
+            cond, body, carry)
 
     def unperm(a):
         return jnp.zeros_like(a).at[lane0].set(a)
@@ -819,8 +841,9 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     if regen:
         # lanes cut off by the iteration cap contribute their partial
         # sample, matching the non-regen cap behavior
-        return unperm(accum + jnp.where(path.active[..., None],
-                                        path.radiance, 0.0))
+        acc = unperm(accum + jnp.where(path.active[..., None],
+                                       path.radiance, 0.0))
+        return (acc, rays) if return_ray_stats else acc
     radiance = unperm(path.radiance)
     if fill:
         out = dict(
@@ -829,14 +852,16 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             gi_l=unperm(path.sp_gi_l),
             gi_pdf=unperm(path.sp_gi_pdf),
             gi_valid=unperm(path.sp_gi_valid),
-            gi_thp=unperm(path.sp_gi_thp))
+            gi_thp=unperm(path.sp_gi_thp),
+            ray_stats=rays)
         if capture_first_hit:
             out["first"] = tuple(unperm(a) for a in first)
         return out
     if capture_first_hit:
         first_out = tuple(unperm(a) for a in first)
-        return radiance, first_out
-    return radiance
+        return (radiance, first_out, rays) if return_ray_stats \
+            else (radiance, first_out)
+    return (radiance, rays) if return_ray_stats else radiance
 
 
 def will_scatter_nee(shade, finished, rr_kill):
