@@ -575,6 +575,71 @@ class RealtimeRenderer(Renderer):
         return (self.mesh is not None and self.mesh.devices.size > 1
                 and height % self.mesh.devices.size == 0)
 
+    def _stage1_tile_rows(self, width: int, height: int):
+        """Single-device row tiling (VERDICT r3 next #1): at 1080p the
+        2M-lane stage-1 program crashes the tunnel's tpu_compile_helper,
+        so the frame runs as T sequential row-tile dispatches reusing ONE
+        compiled program (the same y0/rows row-window contract the
+        sharded stage 1 uses). Returns rows-per-tile, or None to run the
+        whole frame as one program."""
+        import os
+        limit = int(os.environ.get("RTXPT_STAGE1_TILE_PIXELS",
+                                   str(1 << 19)))
+        if width * height <= limit:
+            return None
+        for t in range(2, height + 1):
+            if height % t == 0 and (height // t) * width <= limit:
+                return height // t
+        return 1
+
+    def _stage1_tiled(self, kind: str, rows: int, width: int, height: int,
+                      cam, px, py, consts, has_prev, gbn, gbz):
+        """Run stage 1 as height/rows sequential row-tile dispatches of
+        one compiled program. Prev-frame temporal buffers are padded by
+        STAGE1_HALO clamp rows so every tile sees the same
+        (prev_y0 = y0-halo, prev_rows = rows+2*halo) window the sharded
+        path provides; window_flat clamps reads to valid global rows, so
+        pad content outside the frame is never consumed. Tiles dispatch
+        asynchronously, so trace/ReSTIR work pipelines across tiles."""
+        from ..parallel.meshutils import STAGE1_HALO
+        halo = min(STAGE1_HALO, max(rows - 1, 1))
+        fn = _pt_frame if kind == "psr" else _pt_frame_stable
+        key = (kind + "_tiled", rows, width, height, has_prev, halo)
+        if key not in self._frame_jit:
+            self._frame_jit[key] = jax.jit(functools.partial(
+                fn, cfg=self.cfg, width=width, height=height,
+                has_prev=has_prev, rows=rows,
+                prev_rows=rows + 2 * halo))
+        jfn = self._frame_jit[key]
+
+        def pad_full(a):
+            if a is None or not hasattr(a, "ndim"):
+                return a
+            img = a.reshape((height, width) + a.shape[1:])
+            top = jnp.repeat(img[:1], halo, 0)
+            bot = jnp.repeat(img[-1:], halo, 0)
+            return jnp.concatenate([top, img, bot], 0).reshape(
+                (-1,) + a.shape[1:])
+
+        tm = jax.tree_util.tree_map
+        prev_res = tm(pad_full, self.prev_reservoir)
+        prev_gi = tm(pad_full, self.prev_gi)
+        gbn_p = pad_full(gbn)
+        gbz_p = pad_full(gbz)
+        outs = []
+        for t in range(height // rows):
+            y0 = t * rows
+            sl = slice(y0 * width, (y0 + rows) * width)
+            # padded row 0 is global row -halo, so the window starts at
+            # padded row y0 (= global y0 - halo)
+            psl = slice(y0 * width, (y0 + rows + 2 * halo) * width)
+            win = lambda a: a[psl] if hasattr(a, "ndim") else a
+            outs.append(jfn(
+                self.assets, cam, self.prev_cam, tm(win, prev_res),
+                tm(win, prev_gi), win(gbn_p), win(gbz_p),
+                px[sl], py[sl], consts, jnp.asarray(y0, jnp.int32)))
+        return tm(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     def render_frame(self, width: int, height: int,
                      camera: Optional[CameraData] = None,
                      denoise: Optional[bool] = None,
@@ -614,6 +679,7 @@ class RealtimeRenderer(Renderer):
             jnp.zeros((width * height, 3))
         gbz = self.prev_gb_z if has_prev else \
             jnp.zeros((width * height,))
+        tile_rows = self._stage1_tile_rows(width, height)
         if self._shard_stage1(height):
             from ..parallel import meshutils
             out = meshutils.pt_frame_sharded(
@@ -621,6 +687,10 @@ class RealtimeRenderer(Renderer):
                 self.prev_cam, self.prev_reservoir, self.prev_gi,
                 gbn, gbz, px, py, consts, width=width, height=height,
                 has_prev=has_prev)
+        elif tile_rows is not None:
+            out = self._stage1_tiled("psr", tile_rows, width, height,
+                                     cam, px, py, consts, has_prev,
+                                     gbn, gbz)
         else:
             key = (width, height, has_prev)
             if key not in self._frame_jit:
@@ -766,6 +836,7 @@ class RealtimeRenderer(Renderer):
         n = width * height
         gbn = self.prev_gb_normal if has_prev else jnp.zeros((n, 3))
         gbz = self.prev_gb_z if has_prev else jnp.zeros((n,))
+        tile_rows = self._stage1_tile_rows(width, height)
         if self._shard_stage1(height):
             from ..parallel import meshutils
             (sp, cdiff, cspec, smot, r_fb, gi_fb, gb_normal, gb_z) = \
@@ -774,6 +845,11 @@ class RealtimeRenderer(Renderer):
                     self.prev_cam, self.prev_reservoir, self.prev_gi,
                     gbn, gbz, px, py, consts, width=width,
                     height=height, has_prev=has_prev)
+        elif tile_rows is not None:
+            (sp, cdiff, cspec, smot, r_fb, gi_fb, gb_normal, gb_z) = \
+                self._stage1_tiled("stable", tile_rows, width, height,
+                                   cam, px, py, consts, has_prev,
+                                   gbn, gbz)
         else:
             key = ("sp", width, height, has_prev)
             if key not in self._frame_jit:
