@@ -63,11 +63,14 @@ def _accumulate(state: ReblurState, radiance, hit_t, normal, view_z,
     px = xx + motion[..., 0]
     py = yy + motion[..., 1]
     in_bounds = (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1)
-    prev_rad = _bilinear_gather(state.radiance, px, py)
-    prev_hit = _bilinear_gather(state.hit_t[..., None], px, py)[..., 0]
-    prev_hist = _bilinear_gather(state.history[..., None], px, py)[..., 0]
-    prev_nrm = _bilinear_gather(state.normal, px, py)
-    prev_z = _bilinear_gather(state.view_z[..., None], px, py)[..., 0]
+    # ONE stacked reprojection gather for all history channels
+    stacked = jnp.concatenate(
+        [state.radiance, state.hit_t[..., None], state.history[..., None],
+         state.normal, state.view_z[..., None]], -1)
+    prev = _bilinear_gather(stacked, px, py)
+    prev_rad, prev_hit, prev_hist = prev[..., 0:3], prev[..., 3], \
+        prev[..., 4]
+    prev_nrm, prev_z = prev[..., 5:8], prev[..., 8]
     nrm_ok = jnp.sum(normal * prev_nrm, -1) > 0.8
     z_ok = jnp.abs(view_z - prev_z) < 0.1 * jnp.maximum(view_z, 1e-3)
     valid = in_bounds & nrm_ok & z_ok & (view_z < 1e29)
@@ -101,13 +104,13 @@ def _blur_pass(radiance, radius_px, normal, view_z, roughness, angle):
         phi_n = 8.0
     acc = radiance
     acc_w = jnp.ones((h, w), jnp.float32)
+    stacked = jnp.concatenate([radiance, normal, view_z[..., None]], -1)
     for ox, oy in _POISSON:
         rx, ry = ox * ca - oy * sa, ox * sa + oy * ca
         tx = xx + radius_px * rx
         ty = yy + radius_px * ry
-        rad_s = _bilinear_gather(radiance, tx, ty)
-        nrm_s = _bilinear_gather(normal, tx, ty)
-        z_s = _bilinear_gather(view_z[..., None], tx, ty)[..., 0]
+        s = _bilinear_gather(stacked, tx, ty)   # one gather per tap
+        rad_s, nrm_s, z_s = s[..., 0:3], s[..., 3:6], s[..., 6]
         w_n = jnp.maximum(jnp.sum(normal * nrm_s, -1), 0.0) ** phi_n
         w_z = jnp.exp(-jnp.abs(z_s - view_z)
                       / jnp.maximum(0.05 * view_z + 1e-3, 1e-3))

@@ -50,7 +50,12 @@ class DenoiserState(NamedTuple):
 
 
 def _bilinear_gather(img, x, y):
-    """Bilinear fetch of (H,W,C) at float coords; clamped."""
+    """Bilinear fetch of (H,W,C) at float coords; clamped.
+
+    One flat gather per corner over the channel-stacked image — callers
+    stack every channel they reproject into ONE image first (the TPU
+    gather unit is the bottleneck of the temporal passes; 4 gathers of
+    (H,W,C_total) beat 4*k gathers of the k separate buffers)."""
     h, w = img.shape[0], img.shape[1]
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
@@ -58,19 +63,41 @@ def _bilinear_gather(img, x, y):
     y1 = jnp.minimum(y0 + 1, h - 1)
     fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
-    a = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
-    b = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+    flat = img.reshape((h * w,) + img.shape[2:])
+    a = jnp.take(flat, y0 * w + x0, axis=0) * (1 - fx) + \
+        jnp.take(flat, y0 * w + x1, axis=0) * fx
+    b = jnp.take(flat, y1 * w + x0, axis=0) * (1 - fx) + \
+        jnp.take(flat, y1 * w + x1, axis=0) * fx
     return a * (1 - fy) + b * fy
+
+
+def _pad_edge(x, ry: int, rx: int):
+    """Edge-clamp pad of the two leading (H,W) axes."""
+    pw = ((ry, ry), (rx, rx)) + ((0, 0),) * (x.ndim - 2)
+    return jnp.pad(x, pw, mode="edge")
+
+
+def _tap(xp, h: int, w: int, dy: int, dx: int, r: int):
+    """(H,W,...) window of an edge-padded array, shifted by (dy,dx) with
+    clamp — bit-identical to the old roll+border-fix `_shift(x,dy,dx)`
+    but a single fusible static slice instead of roll + two scatters
+    (the stage-2 rewrite, VERDICT r3 next #2: ~500 roll/scatter trios per
+    frame prevented XLA from fusing the stencil cascade)."""
+    start = (r - dy, r - dx) + (0,) * (xp.ndim - 2)
+    limit = (r - dy + h, r - dx + w) + xp.shape[2:]
+    return jax.lax.slice(xp, start, limit)
 
 
 def _neighborhood_box(x, radius: int = 1):
     """Per-pixel mean and std of the (2r+1)^2 neighborhood of (H,W,C)."""
+    h, w = x.shape[0], x.shape[1]
+    xp = _pad_edge(x, radius, radius)
     n = 0
     m1 = jnp.zeros_like(x)
     m2 = jnp.zeros_like(x)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            s = _shift(x, dy, dx)
+            s = _tap(xp, h, w, dy, dx, radius)
             m1 = m1 + s
             m2 = m2 + s * s
             n += 1
@@ -95,11 +122,14 @@ def temporal_accumulate(state: DenoiserState, radiance, normal, view_z,
     py = yy + motion[..., 1]
     in_bounds = (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1)
 
-    prev_rad = _bilinear_gather(state.radiance, px, py)
-    prev_mom = _bilinear_gather(state.moments, px, py)
-    prev_hist = _bilinear_gather(state.history[..., None], px, py)[..., 0]
-    prev_nrm = _bilinear_gather(state.normal, px, py)
-    prev_z = _bilinear_gather(state.view_z[..., None], px, py)[..., 0]
+    # ONE stacked reprojection gather for all history channels
+    stacked = jnp.concatenate(
+        [state.radiance, state.moments, state.history[..., None],
+         state.normal, state.view_z[..., None]], -1)
+    prev = _bilinear_gather(stacked, px, py)
+    prev_rad, prev_mom = prev[..., 0:3], prev[..., 3:5]
+    prev_hist, prev_nrm, prev_z = prev[..., 5], prev[..., 6:9], \
+        prev[..., 9]
 
     # disocclusion tests (plane distance + normal, NRD-style)
     nrm_ok = jnp.sum(normal * prev_nrm, -1) > 0.8
@@ -156,18 +186,9 @@ def estimate_variance(state: DenoiserState):
 
 
 def _shift(x, dy, dx):
-    """Shift (H,W,...) by (dy,dx) with edge clamp."""
-    x = jnp.roll(x, (dy, dx), axis=(0, 1))
-    # fix wrapped borders by clamping: cheap approximation - use edge rows
-    if dy > 0:
-        x = x.at[:dy].set(x[dy])
-    elif dy < 0:
-        x = x.at[dy:].set(x[dy - 1])
-    if dx > 0:
-        x = x.at[:, :dx].set(x[:, dx:dx + 1])
-    elif dx < 0:
-        x = x.at[:, dx:].set(x[:, dx - 1:dx])
-    return x
+    """Shift (H,W,...) by (dy,dx) with edge clamp (pad + static slice)."""
+    r = max(abs(dy), abs(dx), 1)
+    return _tap(_pad_edge(x, r, r), x.shape[0], x.shape[1], dy, dx, r)
 
 
 def atrous_filter(radiance, variance, normal, view_z, roughness=None,
@@ -179,23 +200,37 @@ def atrous_filter(radiance, variance, normal, view_z, roughness=None,
     the normal edge-stopper sharpens as roughness drops (a mirror only
     accepts neighbors with near-identical normals) and a roughness
     edge-stopper keeps different-material pixels apart — the ReLAX
-    specular lobe-similarity weights."""
+    specular lobe-similarity weights.
+
+    Stencil layout (the TPU shape of NRD's per-pass pipelines): the
+    static guides (normal/viewZ/roughness) are edge-padded ONCE for the
+    whole cascade; per iteration the changing channels
+    (radiance/variance/luminance) are stacked and padded once; every tap
+    is then a static slice, which XLA fuses into the weight math — no
+    roll, no scatter, no per-tap luminance recompute."""
+    h, w = radiance.shape[0], radiance.shape[1]
     weights_5 = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
-    lum_c = mu.luminance(radiance)
     if roughness is not None:
         # low roughness -> effectively delta lobe -> huge normal power
         phi_n_eff = phi_normal / jnp.clip(roughness * roughness,
                                           1.0 / 64.0, 1.0)
         lum_scale = jnp.clip(roughness * 2.0, 0.1, 1.0)
+        guides = jnp.concatenate([normal, view_z[..., None],
+                                  roughness[..., None]], -1)
     else:
         phi_n_eff = phi_normal
         lum_scale = 1.0
+        guides = jnp.concatenate([normal, view_z[..., None]], -1)
+    big_r = 2 << max(iterations - 1, 0)
+    gp = _pad_edge(guides, big_r, big_r)
     for it in range(iterations):
         step = 1 << it
         lum_c = mu.luminance(radiance)
-        var_c = variance
         sigma_l = phi_lum * lum_scale * \
-            jnp.sqrt(jnp.maximum(var_c, 1e-10)) + 1e-4
+            jnp.sqrt(jnp.maximum(variance, 1e-10)) + 1e-4
+        data = jnp.concatenate([radiance, variance[..., None],
+                                lum_c[..., None]], -1)
+        dp = _pad_edge(data, 2 * step, 2 * step)
         acc = radiance * weights_5[2] * weights_5[2]
         acc_v = variance * (weights_5[2] * weights_5[2]) ** 2
         acc_w = jnp.full_like(lum_c, weights_5[2] * weights_5[2])
@@ -204,11 +239,11 @@ def atrous_filter(radiance, variance, normal, view_z, roughness=None,
                 if jy == 0 and jx == 0:
                     continue
                 wk = weights_5[jy + 2] * weights_5[jx + 2]
-                rad_s = _shift(radiance, jy * step, jx * step)
-                var_s = _shift(variance, jy * step, jx * step)
-                lum_s = mu.luminance(rad_s)
-                nrm_s = _shift(normal, jy * step, jx * step)
-                z_s = _shift(view_z, jy * step, jx * step)
+                d_s = _tap(dp, h, w, jy * step, jx * step, 2 * step)
+                g_s = _tap(gp, h, w, jy * step, jx * step, big_r)
+                rad_s, var_s, lum_s = d_s[..., 0:3], d_s[..., 3], \
+                    d_s[..., 4]
+                nrm_s, z_s = g_s[..., 0:3], g_s[..., 3]
                 w_l = jnp.exp(-jnp.abs(lum_s - lum_c) / sigma_l)
                 w_n = jnp.maximum(jnp.sum(normal * nrm_s, -1),
                                   0.0) ** phi_n_eff
@@ -216,8 +251,8 @@ def atrous_filter(radiance, variance, normal, view_z, roughness=None,
                               / (phi_z * jnp.maximum(view_z, 1e-3)))
                 wgt = wk * w_l * w_n * w_z
                 if roughness is not None:
-                    r_s = _shift(roughness, jy * step, jx * step)
-                    wgt = wgt * jnp.exp(-jnp.abs(r_s - roughness) / 0.3)
+                    wgt = wgt * jnp.exp(-jnp.abs(g_s[..., 4] - roughness)
+                                        / 0.3)
                 acc += rad_s * wgt[..., None]
                 acc_v += var_s * wgt * wgt
                 acc_w += wgt

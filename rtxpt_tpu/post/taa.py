@@ -15,7 +15,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from ..core import mathutils as mu
-from ..denoise.relax import _bilinear_gather, _shift
+from ..denoise.relax import _bilinear_gather, _pad_edge, _tap
 
 
 class TAAState(NamedTuple):
@@ -98,11 +98,12 @@ def resolve(state: Optional[TAAState], color, motion,
     m2 = color * color
     cmin = color
     cmax = color
+    cp = _pad_edge(color, 1, 1)     # one pad, 8 fusible static slices
     for jy in (-1, 0, 1):
         for jx in (-1, 0, 1):
             if jy == 0 and jx == 0:
                 continue
-            s = _shift(color, jy, jx)
+            s = _tap(cp, h, w, jy, jx, 1)
             m1 = m1 + s
             m2 = m2 + s * s
             cmin = jnp.minimum(cmin, s)
