@@ -470,4 +470,15 @@ def analytic_lights_from_info(info: dict):
             d = xf[:, :3] @ np.asarray([0, 0, -1], np.float32)
             out.append(dict(kind=LI.LIGHT_DIRECTIONAL, direction=-d,
                             radiance=color * inten))
+        elif t == "spot":
+            # glTF spot points down the node's -Z
+            # (donut/src/engine/GltfImporter.cpp:978-985)
+            spot = light.get("spot", {})
+            ax = xf[:, :3] @ np.asarray([0, 0, -1], np.float32)
+            out.append(dict(
+                kind=LI.LIGHT_SPOT, position=xf[:, 3],
+                axis=ax, radiance=color * inten,
+                inner_angle=float(spot.get("innerConeAngle", 0.0)),
+                outer_angle=float(spot.get("outerConeAngle",
+                                           np.pi / 4.0))))
     return out

@@ -26,6 +26,8 @@ LIGHT_TRIANGLE = 0
 LIGHT_POINT = 1
 LIGHT_DIRECTIONAL = 2
 LIGHT_SPHERE = 3
+LIGHT_SPOT = 4      # point light + cone shaping (PolymorphicLight.hlsli
+#                     kSpot; LightShaping.hlsli:67-85 evaluateLightShaping)
 
 
 class LightTable(NamedTuple):
@@ -48,6 +50,8 @@ class LightTable(NamedTuple):
     pack: jnp.ndarray = None  # (L, LP_COLS) f32
     pack_gp: object = None    # gather_pallas.GatherPlanes of pack (TPU);
     #   dropped (None) after a device-side refresh_pack
+    axis: jnp.ndarray = None  # (L,3) spot primary axis (unit)
+    cone: jnp.ndarray = None  # (L,2) [cosConeAngle, cosConeSoftness]
 
     @property
     def count(self) -> int:
@@ -63,11 +67,33 @@ LP_RADIUS = 13
 LP_RAD = 14         # 14:17
 LP_INV_AREA = 17
 LP_POWER = 18
-LP_COLS = 19
+LP_AXIS = 19        # 19:22 spot primary axis
+LP_COS_CONE = 22    # cos(outer cone angle)
+LP_SOFT = 23        # cone softness (cosine-space smoothstep width)
+LP_COLS = 24
+
+
+def shaping_factor(xp, axis, cos_cone, softness, light_to_surface):
+    """LightShaping.hlsli:67-85 evaluateLightShaping: smoothstep of the
+    angle between the shaping axis and the light->surface direction.
+    softness is the COSINE-space width, exactly as the reference packs
+    cosConeAngleAndSoftness (PrepareLightsPass.cpp:268-277)."""
+    cos_theta = xp.sum(axis * light_to_surface, -1)
+    t = xp.clip((cos_theta - cos_cone) / xp.maximum(softness, 1e-6),
+                0.0, 1.0)
+    return xp.where(softness > 1e-6, t * t * (3.0 - 2.0 * t),
+                    (cos_theta >= cos_cone).astype(xp.float32))
+
+
+def shaping_flux_factor(cos_cone, softness):
+    """getShapingFluxFactor (LightShaping.hlsli:151-165): approximate
+    flux ratio of a shaped vs omnidirectional source."""
+    sa_over_2pi = (1.0 - cos_cone) * (1.0 - 0.5 * softness)
+    return sa_over_2pi * 0.5
 
 
 def _build_pack(xp, kind, tri, position, radius, radiance, positions,
-                indices, power=None):
+                indices, power=None, axis=None, cone=None):
     """Assemble the packed light rows (numpy at build, jnp on refresh)."""
     t = xp.clip(tri, 0, indices.shape[0] - 1)
     tri_idx = indices[t]
@@ -83,10 +109,15 @@ def _build_pack(xp, kind, tri, position, radius, radiance, positions,
                  1.0))
     if power is None:
         power = xp.zeros_like(radius)
+    if axis is None:
+        axis = xp.zeros_like(position)
+    if cone is None:
+        cone = xp.concatenate([xp.full_like(radius, -1.0)[:, None],
+                               xp.zeros_like(radius)[:, None]], axis=-1)
     return xp.concatenate([
         kind[:, None].astype(xp.float32), p0, e1, e2, position,
-        radius[:, None], radiance, inv_area[:, None], power[:, None]],
-        axis=-1).astype(xp.float32)
+        radius[:, None], radiance, inv_area[:, None], power[:, None],
+        axis, cone], axis=-1).astype(xp.float32)
 
 
 def refresh_pack(lt: LightTable, positions, indices) -> LightTable:
@@ -96,7 +127,8 @@ def refresh_pack(lt: LightTable, positions, indices) -> LightTable:
         return lt
     return lt._replace(pack=_build_pack(
         jnp, lt.kind, lt.tri, lt.position, lt.radius, lt.radiance,
-        positions, indices, power=lt.power), pack_gp=None)
+        positions, indices, power=lt.power, axis=lt.axis, cone=lt.cone),
+        pack_gp=None)
 
 
 def build_light_table(host_scene: dict, analytic: Optional[list] = None
@@ -134,6 +166,8 @@ def build_light_table(host_scene: dict, analytic: Optional[list] = None
         # single-sided emissive: power = L * area * pi
         powers.extend((em_lum[mids] * area * np.pi).tolist())
 
+    axes, cones = [[0.0, 0.0, -1.0]] * len(kinds), \
+        [[-1.0, 0.0]] * len(kinds)
     for a in (analytic or []):
         kinds.append(a["kind"])
         tris.append(-1)
@@ -143,8 +177,24 @@ def build_light_table(host_scene: dict, analytic: Optional[list] = None
         radii.append(a.get("radius", 0.0))
         radiances.append(np.asarray(a["radiance"], np.float32))
         lum = float(mu.luminance(jnp.asarray(a["radiance"], jnp.float32)))
+        # spot shaping (PrepareLightsPass.cpp:249-277): cos(outer) +
+        # cosine-space softness = saturate(1 - inner/outer)
+        if a["kind"] == LIGHT_SPOT:
+            outer = float(a.get("outer_angle", np.pi / 4))
+            inner = float(a.get("inner_angle", 0.0))
+            soft = float(np.clip(1.0 - inner / max(outer, 1e-6), 0, 1))
+            ax = np.asarray(a.get("axis", (0, 0, -1)), np.float32)
+            ax = ax / max(np.linalg.norm(ax), 1e-9)
+            axes.append(ax.tolist())
+            cones.append([float(np.cos(outer)), soft])
+        else:
+            axes.append([0.0, 0.0, -1.0])
+            cones.append([-1.0, 0.0])
         if a["kind"] == LIGHT_POINT:
             powers.append(lum * 4.0 * np.pi)
+        elif a["kind"] == LIGHT_SPOT:
+            powers.append(lum * 4.0 * np.pi * float(shaping_flux_factor(
+                cones[-1][0], cones[-1][1])))
         elif a["kind"] == LIGHT_SPHERE:
             r = a.get("radius", 0.1)
             powers.append(lum * 4.0 * np.pi * np.pi * r * r)
@@ -162,9 +212,12 @@ def build_light_table(host_scene: dict, analytic: Optional[list] = None
     pos_np = np.stack(positions).astype(np.float32)
     rad_np = np.asarray(radii, np.float32)
     rdn_np = np.stack(radiances).astype(np.float32)
+    axis_np = np.asarray(axes, np.float32)
+    cone_np = np.asarray(cones, np.float32)
     pack = _build_pack(np, kind_np, tri_np, pos_np, rad_np, rdn_np,
                        np.asarray(pos, np.float32),
-                       np.asarray(idx, np.int64), power=power)
+                       np.asarray(idx, np.int64), power=power,
+                       axis=axis_np, cone=cone_np)
     return LightTable(
         kind=jnp.asarray(kind_np),
         tri=jnp.asarray(tri_np),
@@ -177,6 +230,8 @@ def build_light_table(host_scene: dict, analytic: Optional[list] = None
         pack=jnp.asarray(pack),
         pack_gp=(_gp.pack_f32(pack)
                  if _gp.supported(pack.shape[0]) else None),
+        axis=jnp.asarray(axis_np),
+        cone=jnp.asarray(cone_np),
     )
 
 
@@ -268,7 +323,7 @@ def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
 
     is_tri = kind == LIGHT_TRIANGLE
     is_sph = kind == LIGHT_SPHERE
-    is_pt = kind == LIGHT_POINT
+    is_pt = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT)
     is_area = is_tri | is_sph
 
     lp = jnp.where(is_tri[..., None], lp_t,
@@ -288,6 +343,14 @@ def eval_sample_at(lt: LightTable, scene_positions, scene_indices,
 
     li_area = rad * (jnp.maximum(cos_l, 0.0) / dist_sq)[..., None]
     li_point = rad / dist_sq[..., None]
+    # spot cone shaping (evaluateLightShaping): attenuate by the
+    # smoothstep cone factor of the light->surface direction
+    shape = jnp.where(
+        kind == LIGHT_SPOT,
+        shaping_factor(jnp, row[..., LP_AXIS:LP_AXIS + 3],
+                       row[..., LP_COS_CONE], row[..., LP_SOFT], -dir_l),
+        1.0)
+    li_point = li_point * shape[..., None]
     li = jnp.where(is_area[..., None], li_area,
                    jnp.where(is_pt[..., None], li_point, rad))
     valid = jnp.where(is_area, cos_l > 1e-6, True)
@@ -352,7 +415,8 @@ def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
 
     is_tri = kind == LIGHT_TRIANGLE
     is_sph = kind == LIGHT_SPHERE
-    is_pt = kind == LIGHT_POINT
+    is_spot = kind == LIGHT_SPOT
+    is_pt = (kind == LIGHT_POINT) | is_spot
     is_dir = kind == LIGHT_DIRECTIONAL
 
     direction = jnp.where(
@@ -367,11 +431,17 @@ def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
     # selection pdf only and fold the geometric term into li
     pdf = jnp.where(is_tri, pdf_tri * pick_pdf,
                     jnp.where(is_sph, pdf_sph * pick_pdf, pick_pdf))
+    # spot cone shaping (evaluateLightShaping; light->surface = -dir_p)
+    shape = jnp.where(
+        is_spot,
+        shaping_factor(jnp, row[..., LP_AXIS:LP_AXIS + 3],
+                       row[..., LP_COS_CONE], row[..., LP_SOFT], -dir_p),
+        1.0)
     li = jnp.where(
         is_tri[..., None] | is_sph[..., None],
         rad / jnp.maximum(pdf, 1e-20)[..., None],
         jnp.where(is_pt[..., None],
-                  rad / dist_p_sq[..., None]
+                  rad * shape[..., None] / dist_p_sq[..., None]
                   / jnp.maximum(pick_pdf, 1e-20)[..., None],
                   rad / jnp.maximum(pick_pdf, 1e-20)[..., None]))
     valid = jnp.where(is_tri, tri_visible,
