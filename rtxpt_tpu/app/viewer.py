@@ -58,6 +58,15 @@ _PAGE = """<!doctype html>
  <select id=denm><option>relax</option><option>reblur</option></select>
  <label>exposure</label>
  <input id=exp type=range min=-4 max=4 step=0.1 value=0>
+ <hr><b>material editor</b>
+ <label>material</label><select id=mat></select>
+ <label>base color</label><input id=mbc type=color value="#cccccc">
+ <label>roughness <span id=mrv></span></label>
+ <input id=mr type=range min=0 max=1 step=0.01>
+ <label>metalness <span id=mmv></span></label>
+ <input id=mm type=range min=0 max=1 step=0.01>
+ <label>emissive scale <span id=mev></span></label>
+ <input id=me type=range min=0 max=20 step=0.1>
  <button id=shot>screenshot</button>
  <div id=stats></div>
  <div style="margin-top:8px;color:#777">WASD/QE move &middot; drag to
@@ -82,11 +91,38 @@ for(const id of['mode','dbg','bounces','sp','den','denm'])
     fetch('/api/config',{method:'POST',body:JSON.stringify(cfg())});});
 document.getElementById('shot').onclick=()=>fetch('/api/screenshot',
   {method:'POST'});
+let mats=[];
+function hex(c){return '#'+c.map(v=>Math.round(Math.pow(
+  Math.min(Math.max(v,0),1),1/2.2)*255).toString(16).padStart(2,'0'))
+  .join('');}
+function unhex(h){return [1,3,5].map(i=>Math.pow(
+  parseInt(h.substr(i,2),16)/255,2.2));}
+function showMat(){const m=mats[mat.selectedIndex];if(!m)return;
+  mbc.value=hex(m.base_color);mr.value=m.roughness;mm.value=m.metalness;
+  me.value=Math.max(...m.emissive);
+  mrv.textContent=m.roughness.toFixed(2);
+  mmv.textContent=m.metalness.toFixed(2);
+  mev.textContent=(+me.value).toFixed(1);}
+function pushMat(){const m=mats[mat.selectedIndex];if(!m)return;
+  m.base_color=unhex(mbc.value);m.roughness=+mr.value;
+  m.metalness=+mm.value;
+  const e0=Math.max(...m.emissive,1e-6),s=+me.value;
+  m.emissive=m.emissive.map(v=>e0>1e-6?v/e0*s:s);
+  mrv.textContent=(+mr.value).toFixed(2);
+  mmv.textContent=(+mm.value).toFixed(2);
+  mev.textContent=s.toFixed(1);
+  fetch('/api/material',{method:'POST',body:JSON.stringify(m)});}
+mat.addEventListener('change',showMat);
+for(const id of['mbc','mr','mm','me'])
+  document.getElementById(id).addEventListener('change',pushMat);
 fetch('/api/state').then(r=>r.json()).then(s=>{
   c.width=s.width;c.height=s.height;
   for(const v of s.debug_views){const o=document.createElement('option');
     o.textContent=v;dbg.appendChild(o);}
-  loop();});
+  mats=s.materials||[];
+  for(const m of mats){const o=document.createElement('option');
+    o.textContent=m.index+': '+m.name;mat.appendChild(o);}
+  showMat();loop();});
 async function loop(){
   if(busy)return;busy=true;
   const inp={keys:Object.keys(keys),dx:dx,dy:dy,
@@ -239,11 +275,27 @@ class ViewerApp:
             self._last_srgb = srgb
             return srgb, stats
 
+    def set_material(self, edit: dict):
+        """Material-editor change (SampleUI.cpp:1254,1382): live material
+        table re-upload on the running renderer — no rebuild. Reference
+        mode restarts accumulation (the reference resets on material
+        edits too)."""
+        with self.lock:
+            self._renderer.set_material(
+                int(edit["index"]),
+                base_color=edit.get("base_color"),
+                roughness=edit.get("roughness"),
+                metalness=edit.get("metalness"),
+                emissive=edit.get("emissive"))
+            if self.settings["mode"] == "reference":
+                self.moved = True     # restart accumulation
+
     def state(self):
         from ..utils import debugviews as DV
         return dict(width=self.width, height=self.height,
                     settings=self.settings,
-                    debug_views=list(DV.VIEWS))
+                    debug_views=list(DV.VIEWS),
+                    materials=self._renderer.material_info())
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -294,6 +346,9 @@ class _Handler(BaseHTTPRequestHandler):
                        hdrs=[("X-Stats", quote(stats))])
         elif self.path == "/api/config":
             app.set_config(self._body())
+            self._send(200, b"{}")
+        elif self.path == "/api/material":
+            app.set_material(self._body())
             self._send(200, b"{}")
         elif self.path == "/api/screenshot":
             IM.save_png(app.screenshot_path,

@@ -109,6 +109,34 @@ def test_rigid_refit_moves_instance():
     assert int(np.asarray(hit2.prim)[0]) >= 0
 
 
+def test_many_instances_chunked_no_fallback(monkeypatch):
+    """>INST_CHUNK instances traverse the instanced path in chunks with
+    NO flattened-soup fallback, and match the brute-force soup trace
+    (VERDICT r3 next #5 'Done' criterion). blocks=4 city = 534 instances
+    = 3 chunks of 256; 55k tris auto-selects instanced without forcing."""
+    from rtxpt_tpu.models.renderer import Renderer, reference_config
+    monkeypatch.delenv("RTXPT_INSTANCED", raising=False)
+    host = procedural.build_city(blocks=4).finish()
+    assert len(host["instancing"]["mesh_of_instance"]) > instanced.INST_CHUNK
+    cam = procedural.city_camera(24, 16, blocks=4)
+    r = Renderer(host, cam, reference_config(max_bounces=1,
+                                             max_diffuse_bounces=1,
+                                             nee_local_samples=0))
+    assert hasattr(r.bvh, "inst_aabb"), "auto path fell back to soup"
+    assert r.bvh.num_instances > instanced.INST_CHUNK
+
+    soup = TriSoup.build(host["positions"], host["indices"])
+    o, d = _rays(n=256, seed=11)
+    o = o * jnp.asarray([8.0, 2.0, 8.0]) + jnp.asarray([0.0, 3.0, 0.0])
+    ref = bruteforce_closest(soup, o, d)
+    got = instanced.trace_closest(r.bvh, o, d)
+    rp, gp = np.asarray(ref.prim), np.asarray(got.prim)
+    assert ((rp >= 0) == (gp >= 0)).all()
+    both = rp >= 0
+    assert np.allclose(np.asarray(ref.t)[both], np.asarray(got.t)[both],
+                       rtol=1e-4, atol=1e-5)
+
+
 def test_city_renders_through_instanced_path(monkeypatch):
     """End-to-end: the city fixture auto-selects the instanced path and
     produces a finite image; memory drops (4 BLASes vs 55k-tri soup)."""

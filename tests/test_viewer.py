@@ -74,6 +74,22 @@ def test_viewer_end_to_end(tmp_path):
         status, out, _ = _req(port, "POST", "/api/screenshot")
         assert json.loads(out)["saved"] == app.screenshot_path
         assert (tmp_path / "shot.png").exists()
+
+        # material editor (SampleUI.cpp:1254,1382): state lists
+        # materials; an edit re-uploads the table without rebuild and
+        # the next frame reflects it
+        assert len(state["materials"]) > 0
+        rend0 = app._renderer
+        _req(port, "POST", "/api/config", {"debug_view": "none"})
+        _req(port, "POST", "/api/material",
+             {"index": 0, "base_color": [1.0, 0.0, 0.0],
+              "roughness": 0.9})
+        assert app._renderer is rend0, "material edit rebuilt renderer"
+        mp = np.asarray(app._renderer.scene.mat_pack)
+        np.testing.assert_allclose(mp[0, 0:3], [1.0, 0.0, 0.0])
+        np.testing.assert_allclose(mp[0, 4], 0.9)
+        status, png, _ = _req(port, "POST", "/api/frame", {"keys": []})
+        assert status == 200 and png[:4] == b"\x89PNG"
     finally:
         srv.shutdown()
 
