@@ -75,6 +75,13 @@ class PTConfig:
     wavefront_compaction: bool = True
     wavefront_compaction_min: int = 16384  # only compact wavefronts
     #   at least this wide (below it the full-width tail is cheap)
+    # fused shade+NEE Pallas megakernel (pt/shade_kernel.py): one kernel
+    # per bounce runs emission/RR/BSDF-sample/NEE math instead of the
+    # XLA chain (the reference's one-ubershader-invocation shape,
+    # RTXPT/Sample.hlsl:368-393). TPU-only (CPU keeps the XLA path);
+    # applies to non-FILL wavefronts with <=1 distant + <=1 local NEE
+    # sample and non-ReGIR local sampling.
+    shade_megakernel: bool = True
     # NRD-slot denoiser selection (Sample.cpp:1461-1466): "relax"
     # (a-trous variance-guided, denoise/relax.py) or "reblur"
     # (hit-distance-driven kernel scaling, denoise/reblur.py)

@@ -248,12 +248,26 @@ def roughness_to_spread_angle(roughness, diffuse_to_angle_factor=0.6):
     return diffuse_to_angle_factor * jnp.sqrt(sigma2)
 
 
+def acos_approx(x):
+    """Polynomial arccos (Abramowitz-Stegun 4.4.45, |err| <= 6.8e-5 rad).
+
+    Used by the cone-spread / firefly heuristics instead of true arccos
+    so the XLA path and the Pallas shade megakernel (which has no acos
+    lowering on TPU Mosaic) compute IDENTICAL values; the heuristics are
+    clamp/widening factors, far less precise than 7e-5 rad themselves."""
+    ax = jnp.abs(x)
+    p = 1.5707288 + ax * (-0.2121144 + ax * (0.0742610
+                                             + ax * -0.0187293))
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x >= 0.0, r, M_PI - r)
+
+
 def spread_angle_from_scatter_pdf(scatter_pdf, growth_factor=0.15):
     """Cone spread expansion from a scatter pdf, uniform-cap heuristic
     (PathTracerHelpers.hlsli:189)."""
     safe = jnp.maximum(scatter_pdf, 1e-30)
-    return growth_factor * 2.0 * jnp.arccos(
-        jnp.maximum(-1.0, 1.0 - (1.0 / safe) / M_2PI))
+    return growth_factor * 2.0 * acos_approx(
+        jnp.clip(1.0 - (1.0 / safe) / M_2PI, -1.0, 1.0))
 
 
 def new_scatter_firefly_filter_k(current_k, pixel_cone_spread_angle,

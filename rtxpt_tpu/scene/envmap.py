@@ -45,6 +45,12 @@ class EnvMap(NamedTuple):
     #   [prob, alias, pdf_self, pdf_alias, le_self(3), le_alias(3)] —
     #   O(1) env draws (ONE row gather) with the EXACT texel pmf the
     #   mip-descent sampler uses, so pdf_mip_descent stays valid
+    # MXU one-hot gather planes of alias_pack / radiance_quad
+    # (ops/gather_pallas): the XLA 10-col row gather measured 13.6 ms
+    # per NEE env draw at 480k lanes (tools/profile_nee.py round 4);
+    # the one-hot matmul fetch runs it at MXU speed
+    alias_gp: object = None
+    quad_gp: object = None
 
     @property
     def height(self) -> int:
@@ -140,7 +146,8 @@ def eval_dir(env: EnvMap, d):
         ty = (fy - y0)[..., None]
         xi = jnp.mod(x0.astype(jnp.int32), w)
         yi = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        q = env.radiance_quad[yi * w + xi]           # (...,12)
+        q = _env_rows(env, env.quad_gp, env.radiance_quad,
+                      yi * w + xi)                   # (...,12)
         top = q[..., 0:3] * (1 - tx) + q[..., 3:6] * tx
         bot = q[..., 6:9] * (1 - tx) + q[..., 9:12] * tx
         out = (top * (1 - ty) + bot * ty) * env.intensity
@@ -229,6 +236,16 @@ def sample_mip_descent(env: EnvMap, u2):
     return d, pdf, le
 
 
+def _env_rows(env: EnvMap, gp, pack, idx):
+    """Row fetch from an env table: MXU one-hot gather on TPU
+    (ops/gather_pallas), XLA row gather elsewhere."""
+    from ..ops import gather_pallas as GPL
+    from ..ops.traverse import _use_pallas
+    if gp is not None and _use_pallas():
+        return GPL.gather_rows(gp, idx)
+    return pack[idx]
+
+
 def sample_alias(env: EnvMap, u2):
     """O(1) env draw via the Vose alias rows: same texel pmf (and the
     same pdf values) as sample_mip_descent, ONE row gather per draw
@@ -239,7 +256,7 @@ def sample_alias(env: EnvMap, u2):
     x = u2[..., 0] * nt
     bin_ = jnp.minimum(x.astype(jnp.int32), nt - 1)
     jx = x - bin_.astype(jnp.float32)
-    row = env.alias_pack[bin_]                      # (N,10)
+    row = _env_rows(env, env.alias_gp, env.alias_pack, bin_)  # (N,10)
     prob = row[..., 0]
     v = u2[..., 1]
     keep = v < prob
@@ -277,8 +294,10 @@ def pdf_mip_descent(env: EnvMap, d):
     if env.alias_pack is not None:
         # pdf_self rides the 10-col alias row: XLA's multi-column row
         # gather sustains ~60 GB/s where the single-column gather of
-        # pdf_flat ran at ~1.8 GB/s (round-3 device trace, ~3 ms/bounce)
-        return env.alias_pack[y * w + x][..., 2]
+        # pdf_flat ran at ~1.8 GB/s (round-3 device trace, ~3 ms/bounce);
+        # on TPU the row comes from the MXU one-hot gather instead
+        return _env_rows(env, env.alias_gp, env.alias_pack,
+                         y * w + x)[..., 2]
     if env.pdf_flat is not None:
         return env.pdf_flat[y * w + x]
     return env.mips[-1][y, x] / (env.total *
@@ -489,6 +508,8 @@ def _make_envmap_np(radiance: np.ndarray, intensity: float,
     r_diag = np.roll(r_down, -1, axis=1)
     radiance_quad = np.concatenate(
         [radiance, r_right, r_down, r_diag], axis=-1).reshape(-1, 12)
+    alias = _build_alias_pack(mips[-1].reshape(-1).astype(np.float64),
+                              pdf_flat, radiance.reshape(-1, 3))
     return EnvMap(radiance=jnp.asarray(radiance),
                   mips=tuple(jnp.asarray(m.astype(np.float32))
                              for m in mips),
@@ -502,6 +523,16 @@ def _make_envmap_np(radiance: np.ndarray, intensity: float,
                   quads=tuple(quads),
                   radiance_quad=jnp.asarray(
                       radiance_quad.astype(np.float32)),
-                  alias_pack=jnp.asarray(_build_alias_pack(
-                      mips[-1].reshape(-1).astype(np.float64),
-                      pdf_flat, radiance.reshape(-1, 3))))
+                  alias_pack=jnp.asarray(alias),
+                  **_env_gps(alias, radiance_quad))
+
+
+def _env_gps(alias, radiance_quad):
+    """MXU gather planes for the alias + quad tables when they fit the
+    one-hot budget (ops/gather_pallas.MAX_ROWS)."""
+    from ..ops import gather_pallas as GPL
+    if not GPL.supported(alias.shape[0]):
+        return {}
+    return dict(alias_gp=GPL.pack_f32(alias),
+                quad_gp=GPL.pack_f32(
+                    np.asarray(radiance_quad, np.float32)))

@@ -11,7 +11,8 @@ from rtxpt_tpu.models.renderer import realtime_config
 from rtxpt_tpu.scene import envmap as EM, procedural
 
 
-@pytest.mark.parametrize("stable", [False, True])
+@pytest.mark.slow           # ~27 min on the 8-CPU mesh (2 heavy compiles
+@pytest.mark.parametrize("stable", [False, True])   # x 2 variants)
 def test_stage1_tiled_matches_single(monkeypatch, stable):
     w, h = 32, 96         # tiles of 48 rows with the env override below
     host = procedural.build_programmer_art().finish()
