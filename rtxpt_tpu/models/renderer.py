@@ -347,6 +347,17 @@ class Renderer:
         self.assets = self.assets._replace(scene=self.scene, bvh=self.bvh,
                                            lights=self.lights)
 
+    def update_environment(self, env_radiance, intensity: float = 1.0):
+        """Per-frame env re-bake (EnvMapBaker::Update, Sample.cpp:1495-
+        1521): rebuilds the importance pyramid + alias tables from a new
+        equirect radiance map and swaps it into the running assets — an
+        animated sun is `bake_procedural_sky(sun_dir=...)` (plus
+        envmap.bake_with_directional for analytic directional splats)
+        fed here each frame; no other scene state is touched."""
+        self.env = EM.make_envmap(env_radiance, intensity=intensity,
+                                  enabled=self.cfg.use_env_lights)
+        self.assets = self.assets._replace(env=self.env)
+
     def set_material(self, index: int, base_color=None, roughness=None,
                      metalness=None, emissive=None):
         """Live material edit (the SampleUI material editor,

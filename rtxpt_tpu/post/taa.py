@@ -23,46 +23,56 @@ class TAAState(NamedTuple):
     valid: jnp.ndarray     # () bool - has any history
 
 
+def _crw(f):
+    # Catmull-Rom weights for offsets -1, 0, 1, 2
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    return w0, w1, w2, w3
+
+
 def _catmull_rom_gather(img, x, y):
-    """5-tap optimized Catmull-Rom resampling of (H,W,C) at float coords
-    (the taa_cs.hlsl / Karis bicubic-via-bilinear trick: the 4x4 kernel
-    collapses to 5 bilinear fetches at weighted offsets)."""
+    """EXACT 16-texel Catmull-Rom resampling of (H,W,3) at float coords
+    via ONE wide row gather.
+
+    The round-3 version used the Karis 5-bilinear-tap approximation —
+    but on TPU each bilinear tap is 4 row-gather calls, and the XLA row
+    gather pays ~2.3 ms fixed + ~1 ms/column at wavefront width
+    (tools/profile_stage2.py: 58 ms per TAA resolve at 640x360, gather-
+    bound). Instead the 4x4 neighborhood is STACKED channel-wise with 16
+    static edge-clamped shifts (pure fusible slices), so the resample is
+    ONE 48-column gather at the integer base texel + the full separable
+    CR weights — exact (no dropped corner terms) and ~2x faster."""
     h, w = img.shape[0], img.shape[1]
+    from ..denoise.relax import _pad_edge, _tap
     xc = jnp.floor(x - 0.5) + 0.5
     yc = jnp.floor(y - 0.5) + 0.5
     fx = x - xc
     fy = y - yc
+    wx = _crw(fx)
+    wy = _crw(fy)
 
-    def crw(f):
-        # Catmull-Rom weights for offsets -1, 0, 1, 2
-        f2 = f * f
-        f3 = f2 * f
-        w0 = -0.5 * f3 + f2 - 0.5 * f
-        w1 = 1.5 * f3 - 2.5 * f2 + 1.0
-        w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
-        w3 = 0.5 * f3 - 0.5 * f2
-        return w0, w1, w2, w3
+    # stacked 4x4 neighborhood: S[y, x, 3*(4j+i):...] = img[y+j-1, x+i-1]
+    pimg = _pad_edge(img, 2, 2)
+    planes = [_tap(pimg, h, w, -(j - 1), -(i - 1), 2)
+              for j in range(4) for i in range(4)]
+    stacked = jnp.concatenate(planes, axis=-1)          # (H, W, 48)
 
-    wx = crw(fx)
-    wy = crw(fy)
-    # center 2x2 collapsed to one bilinear tap
-    wx12 = wx[1] + wx[2]
-    wy12 = wy[1] + wy[2]
-    ox = wx[2] / jnp.maximum(wx12, 1e-8)
-    oy = wy[2] / jnp.maximum(wy12, 1e-8)
+    x0 = jnp.clip((xc - 0.5).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip((yc - 0.5).astype(jnp.int32), 0, h - 1)
+    rows = jnp.take(stacked.reshape(h * w, 48), y0 * w + x0, axis=0)
+    rows = rows.reshape(x.shape + (16, 3))
 
-    taps = [
-        (xc + ox, yc - 1.0, wx12 * wy[0]),
-        (xc - 1.0, yc + oy, wx[0] * wy12),
-        (xc + ox, yc + oy, wx12 * wy12),
-        (xc + 2.0, yc + oy, wx[3] * wy12),
-        (xc + ox, yc + 2.0, wx12 * wy[3]),
-    ]
     acc = 0.0
     wacc = 0.0
-    for tx, ty, tw in taps:
-        acc = acc + _bilinear_gather(img, tx, ty) * tw[..., None]
-        wacc = wacc + tw
+    for j in range(4):
+        for i in range(4):
+            tw = wx[i] * wy[j]
+            acc = acc + rows[..., 4 * j + i, :] * tw[..., None]
+            wacc = wacc + tw
     return acc / jnp.maximum(wacc[..., None], 1e-8)
 
 

@@ -236,7 +236,12 @@ def _kernel_shade_step(assets, cfg, consts, cam, path, surf, shade, thp,
         emissive_mis=path.emissive_mis, env_mis=path.env_mis,
         cone_spread=path.cone_spread,
         diffuse_bounces=path.diffuse_bounces, vertex_index=vertex_index,
-        shade=shade, u_rr=u_rr, u3=u3)
+        shade=shade, u_rr=u_rr, u3=u3,
+        # FILL: the dominant plane's base NEE is replaced by ReSTIR DI
+        # (restir_covered) — its rays would be traced then discarded
+        nee_skip=(path.sp_on_plane & path.sp_on_dominant
+                  if fill and cfg.use_restir_di
+                  else jnp.zeros((nb,), bool)))
 
     if nee_distant + nee_local > 0:
         g = rng.start_effect(g, rng.EFFECT_NEE, False)
@@ -780,6 +785,12 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                     lum = mu.luminance((fd + fs) * li)
                     need_ray = will_scatter_nee(shade, finished, rr_kill) & \
                         ls.valid & (lum > consts.nee_min_radiance_threshold)
+                    if fill and cfg.use_restir_di:
+                        # the dominant plane's base NEE is replaced by
+                        # ReSTIR DI (restir_covered routing below) —
+                        # don't cast rays whose contribution is dropped
+                        need_ray = need_ray & ~(path.sp_on_plane
+                                                & path.sp_on_dominant)
                     nee_k = mu.new_scatter_firefly_filter_k(
                         pre_scatter_firefly_k, cam.pixel_cone_spread_angle,
                         pdf_for_firefly, jnp.ones((nb,)))

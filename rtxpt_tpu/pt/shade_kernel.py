@@ -124,6 +124,8 @@ def _in_layout(nee_distant: int, nee_local: int) -> _Layout:
     L.add("diffuse_bounces")
     L.add("vertex_index")
     L.add("shade")            # is_hit & true_int & ~alpha_reject
+    L.add("nee_skip")         # FILL: lanes whose NEE contribution the
+    #   plane routing discards (restir_covered) — don't cast their rays
     # uniforms (pre-drawn outside in the exact XLA order)
     L.add("u_rr")
     L.add("u3", 3)
@@ -925,7 +927,8 @@ def _make_kernel(Lin: _Layout, Lout: _Layout, nee_distant: int,
         env_mis_pre = jnp.where(shade, 1.0, gi("env_mis"))
         vertex_n = gi("vertex_n")
         shadow_fade = gi("shadow_fade")
-        nee_ok = shade & ~finished & ~rr_kill   # will_scatter_nee
+        nee_ok = shade & ~finished & ~rr_kill \
+            & (gi("nee_skip") == 0.0)           # will_scatter_nee
 
         def nee_one(ls_dir, ls_dist, ls_li, light_mis_pdf, ls_pdf,
                     ls_valid, sample_weight, idx):

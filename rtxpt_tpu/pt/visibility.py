@@ -52,6 +52,14 @@ def sample_opacity(scene, prim, bary):
     return alpha_mode, cutoff, opacity
 
 
+# max lanes per trace dispatch: the dense-MT kernel's scalar-prefetched
+# per-tile worklists scale with the lane count; a 1080p FILL tile's 4x
+# NEE batch (2M lanes) exhausts the scoped/SMEM budget (register-spill
+# OOM in _trace_dense) — bigger batches split into sequential dispatches
+MAX_TRACE_LANES = int(__import__("os").environ.get(
+    "RTXPT_MAX_TRACE_LANES", str(1 << 20)))
+
+
 def trace_visibility(assets, origins, dirs, t_min=0.0, t_max=1e30,
                      active=None, exact: bool = False):
     """True where the segment is occluded. exact=True enables the
@@ -61,6 +69,18 @@ def trace_visibility(assets, origins, dirs, t_min=0.0, t_max=1e30,
     n = origins.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
+    if n > MAX_TRACE_LANES:
+        k = -(-n // MAX_TRACE_LANES)          # ceil
+        step = -(-n // k)
+        outs = []
+        for c in range(0, n, step):
+            sl = slice(c, min(c + step, n))
+            tm = t_max[sl] if hasattr(t_max, "shape") and \
+                getattr(t_max, "ndim", 0) > 0 else t_max
+            outs.append(trace_visibility(
+                assets, origins[sl], dirs[sl], t_min=t_min, t_max=tm,
+                active=active[sl], exact=exact))
+        return jnp.concatenate(outs, axis=0)
     if not exact:
         return traverse.trace_anyhit(assets.bvh, assets.soup, origins,
                                      dirs, t_min=t_min, t_max=t_max,

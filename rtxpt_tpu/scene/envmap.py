@@ -363,6 +363,36 @@ def bake_procedural_sky(height: int = 128,
     return col.astype(jnp.float32)
 
 
+def bake_with_directional(base_radiance, directional_lights,
+                          angular_radius: float = 0.02):
+    """EnvMapBaker::Update's analytic-directional-light splat
+    (RTXPT/Lighting/Distant/EnvMapBaker.cpp, driven per frame at
+    Sample.cpp:1495-1521): each directional light becomes a small disc
+    of radiance = irradiance / solid_angle in the equirect, so env
+    importance sampling + MIS see it as distant lighting.
+
+    directional_lights: list of dicts {direction (pointing FROM the
+    light, i.e. the travel direction), radiance}. Returns a new (H,2H,3)
+    radiance map; callers feed it to Renderer.update_environment each
+    frame for an animated sun."""
+    col = np.asarray(base_radiance, np.float32).copy()
+    h, w = col.shape[0], col.shape[1]
+    v, u = np.meshgrid((np.arange(h) + 0.5) / h,
+                       (np.arange(w) + 0.5) / w, indexing="ij")
+    theta = v * np.pi
+    phi = (u * 2.0 - 1.0) * np.pi
+    st = np.sin(theta)
+    d = np.stack([st * np.cos(phi), np.cos(theta), st * np.sin(phi)], -1)
+    omega = 2.0 * np.pi * (1.0 - np.cos(angular_radius))
+    for l in directional_lights:
+        ld = np.asarray(l["direction"], np.float32)
+        ld = -ld / max(np.linalg.norm(ld), 1e-9)   # toward the light
+        rad = np.asarray(l["radiance"], np.float32) / omega
+        mask = (d @ ld) > np.cos(angular_radius)
+        col[mask] = col[mask] + rad
+    return col
+
+
 def load_equirect(path: str, target_height: Optional[int] = None):
     """Load an equirectangular environment texture from file — the
     EnvMapBaker "loaded texture" path (RTXPT/Lighting/EnvMapBaker.cpp;

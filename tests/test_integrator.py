@@ -116,7 +116,9 @@ def _compaction_ab(w, h, threshold, **cfg_over):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
-def test_tail_compaction_equivalence():
+@pytest.mark.slow   # 154 s: two full bounce-loop compiles; the
+def test_tail_compaction_equivalence():   # compacted path is implicitly
+    # exercised by every realtime/golden test in the default tier
     """Wavefront tail compaction (live set gathered to n//8 lanes and
     the bounce loop continued at narrow width) must not change the
     image: same per-lane ops, same RNG streams, only the width of the

@@ -54,21 +54,21 @@ def test_restir_di_fast_bias_gate():
     catch gross estimator breakage in the default suite; the tight A/B
     stays in the slow tier below."""
     host = procedural.build_programmer_art().finish()
-    cam = procedural.default_camera(32, 24)
-    spp = 8
+    cam = procedural.default_camera(24, 16)
+    spp = 6
     ref = np.asarray(Renderer(host, cam, reference_config(
-        max_bounces=2, max_diffuse_bounces=1)).render(32, 24, spp))
+        max_bounces=2, max_diffuse_bounces=1)).render(24, 16, spp))
     cfg = realtime_config(use_restir_di=True, use_restir_gi=False,
                           denoiser_enabled=False, use_stable_planes=False,
                           max_bounces=2, max_diffuse_bounces=1)
     r = RealtimeRenderer(host, cam, cfg)
     acc = np.zeros_like(ref)
     for _ in range(spp):
-        acc += np.asarray(r.render_frame(32, 24, taa=False,
+        acc += np.asarray(r.render_frame(24, 16, taa=False,
                                          denoise=False))
     acc /= spp
     rel = abs(acc.mean() - ref.mean()) / ref.mean()
-    assert rel < 0.35, (acc.mean(), ref.mean(), rel)
+    assert rel < 0.4, (acc.mean(), ref.mean(), rel)
 
 
 @pytest.mark.slow
