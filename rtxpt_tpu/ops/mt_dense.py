@@ -273,11 +273,15 @@ def refresh_dense(dense: DenseMT, positions, indices) -> DenseMT:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("nc",))
-def _tile_worklists(aabb, origins, dirs, t_max, active, nc: int):
-    """(counts (T,), order (T, NC)): for each TILE-lane block, the
-    clusters any active ray's slab test overlaps, sorted near-to-far by
-    the tile's min entry distance. O(N*NC) but fully fused elementwise +
-    reductions — a scan over clusters bounds the live intermediates."""
+def _tile_worklists_exact(aabb, origins, dirs, t_max, active, nc: int):
+    """Per-RAY exact prepass: counts/order from every active ray's slab
+    test, O(N*NC). This is the PRODUCTION default: the on-chip full-sample
+    A/B (tools/profile_prepass_ab.py, round 4) measured 376-377 ms/sample
+    exact vs 394-404 ms/sample for the O(T*NC) interval prepass below —
+    the interval version's looser (conservative) worklists cost more
+    inside the trace kernel than the cheaper prepass saves, because
+    dense-MT scenes are bounded at MAX_TRIS so NC stays small and the
+    exact prepass fuses into cheap elementwise+reduce work."""
     n = origins.shape[0]
     tiles = n // TILE
     inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
@@ -300,6 +304,94 @@ def _tile_worklists(aabb, origins, dirs, t_max, active, nc: int):
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     counts = hit_any.T.sum(1).astype(jnp.int32)
     return counts, order
+
+
+@functools.partial(jax.jit, static_argnames=("nc",))
+def _tile_worklists_interval(aabb, origins, dirs, t_max, active, nc: int):
+    """(counts (T,), order (T, NC)): per-TILE conservative cluster
+    worklists, near-to-far. Opt-in via RTXPT_MT_TILE_PREPASS=1 — measured
+    SLOWER end-to-end than the exact prepass (see _tile_worklists_exact
+    docstring); kept for A/B and for a future much-larger-NC regime.
+
+    Each TILE-lane block is reduced to an origin AABB + per-axis
+    direction interval + max t_max over its ACTIVE lanes — O(N) total —
+    and the slab test runs on the (T, NC) tile/cluster pair grid with
+    interval arithmetic (~38k pairs vs the 39M ray/cluster pairs of the
+    exact prepass, which cost more than the trace kernel itself;
+    round-4 profile_sort_ab). Conservative: a cluster any active ray
+    could enter always passes (axes whose direction interval spans 0
+    impose no constraint), so the kernel — which still slab-gates
+    per-lane per visited cluster — returns bit-identical hits; tiles
+    only ever visit a superset. Coherent (sorted/primary) tiles gate
+    nearly as tightly as the exact version."""
+    n = origins.shape[0]
+    tiles = n // TILE
+    big = jnp.float32(1e30)
+    o_t = origins.reshape(tiles, TILE, 3)
+    d_t = dirs.reshape(tiles, TILE, 3)
+    tm_t = t_max.reshape(tiles, TILE)
+    ac = active.reshape(tiles, TILE)[..., None]
+
+    o_lo = jnp.min(jnp.where(ac, o_t, big), axis=1)        # (T,3)
+    o_hi = jnp.max(jnp.where(ac, o_t, -big), axis=1)
+    d_lo = jnp.min(jnp.where(ac, d_t, big), axis=1)
+    d_hi = jnp.max(jnp.where(ac, d_t, -big), axis=1)
+    tm = jnp.max(jnp.where(ac[..., 0], tm_t, 0.0), axis=1)  # (T,)
+    any_act = jnp.any(ac[..., 0], axis=1)
+
+    # interval slab test per (tile, cluster, axis). For a sign-definite
+    # direction interval the extreme quotients over (numerator interval)
+    # x (divisor endpoints) bound tn/tf; a zero-spanning interval
+    # contributes (-inf, +inf) (no constraint).
+    lo = aabb[None, :, 0:3]                                 # (1,NC,3)
+    hi = aabb[None, :, 3:6]
+    nl_lo = lo - o_hi[:, None]                              # (T,NC,3)
+    nl_hi = lo - o_lo[:, None]
+    nh_lo = hi - o_hi[:, None]
+    nh_hi = hi - o_lo[:, None]
+    dl = d_lo[:, None]                                      # (T,1,3)
+    dh = d_hi[:, None]
+    sign_def = (dl > 1e-12) | (dh < -1e-12)
+    dl_s = jnp.where(jnp.abs(dl) < 1e-12, 1e-12, dl)
+    dh_s = jnp.where(jnp.abs(dh) < 1e-12, 1e-12, dh)
+
+    def qmin(num_lo, num_hi):
+        return jnp.minimum(jnp.minimum(num_lo / dl_s, num_lo / dh_s),
+                           jnp.minimum(num_hi / dl_s, num_hi / dh_s))
+
+    def qmax(num_lo, num_hi):
+        return jnp.maximum(jnp.maximum(num_lo / dl_s, num_lo / dh_s),
+                           jnp.maximum(num_hi / dl_s, num_hi / dh_s))
+
+    # per-axis possible [t0,t1] across the tile (either slab side can be
+    # the entry plane depending on direction sign — take the envelope)
+    ax_lo = jnp.minimum(qmin(nl_lo, nl_hi), qmin(nh_lo, nh_hi))
+    ax_hi = jnp.maximum(qmax(nl_lo, nl_hi), qmax(nh_lo, nh_hi))
+    ax_lo = jnp.where(sign_def, ax_lo, -big)
+    ax_hi = jnp.where(sign_def, ax_hi, big)
+    tn = jnp.max(ax_lo, axis=-1)                            # (T,NC)
+    tf = jnp.min(ax_hi, axis=-1)
+    hit = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, tm[:, None])) \
+        & any_act[:, None]
+    # near-to-far key: the interval entry distance degenerates to 0 for
+    # direction-incoherent tiles (every axis unconstrained), which made
+    # the visit order arbitrary and killed best_t tightening (round-4
+    # pixel-order regression). Blend in the distance from the tile's
+    # origin centroid to the cluster center as the tiebreak/fallback —
+    # it orders visits sensibly for ANY direction mix.
+    o_c = jnp.where(any_act[:, None], 0.5 * (o_lo + o_hi), 0.0)  # (T,3)
+    c_c = 0.5 * (aabb[:, 0:3] + aabb[:, 3:6])               # (NC,3)
+    dist_c = jnp.linalg.norm(c_c[None, :, :] - o_c[:, None, :], axis=-1)
+    key = jnp.where(hit, jnp.maximum(tn, 0.0) + dist_c, jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    counts = hit.sum(1).astype(jnp.int32)
+    return counts, order
+
+
+def _worklists_fn():
+    return _tile_worklists_interval \
+        if _os.environ.get("RTXPT_MT_TILE_PREPASS", "0") == "1" \
+        else _tile_worklists_exact
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +603,7 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
     d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
     tm = jnp.pad(t_max, (0, pad))
     ac = jnp.pad(active, (0, pad))
-    counts, order = _tile_worklists(aabb, o, d, tm, ac, nc=nc)
+    counts, order = _worklists_fn()(aabb, o, d, tm, ac, nc=nc)
 
     RC = (5 if has_omm else 4) * CLUSTER
     kernel = _make_kernel(nc, has_omm, any_hit)

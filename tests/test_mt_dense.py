@@ -90,3 +90,36 @@ def test_dense_omm_channel():
     got = mt_dense.trace_closest(dmt, o, d, interpret=True)
     prim = np.asarray(got.prim)
     assert not np.isin(prim[prim >= 0], np.arange(32)).any()
+
+
+def test_tile_worklists_conservative_superset():
+    """The O(T*NC) interval prepass must admit every cluster the exact
+    per-ray prepass admits (missing one would drop true hits), and the
+    traced image must be identical either way."""
+    positions, indices = _random_scene(5, n_tris=500)
+    dmt = mt_dense.build_dense(positions, indices)
+    nc = dmt.num_clusters
+    o, d = _random_rays(13, n=2048)
+    t_max = jnp.full((2048,), 1e30, jnp.float32)
+    act = jnp.asarray(np.random.RandomState(2).rand(2048) > 0.2)
+    c_ex, o_ex = mt_dense._tile_worklists_exact(
+        dmt.aabb, o, d, t_max, act, nc=nc)
+    c_cv, o_cv = mt_dense._tile_worklists_interval(
+        dmt.aabb, o, d, t_max, act, nc=nc)
+    c_ex, o_ex = np.asarray(c_ex), np.asarray(o_ex)
+    c_cv, o_cv = np.asarray(c_cv), np.asarray(o_cv)
+    for t in range(c_ex.shape[0]):
+        exact = set(o_ex[t, :c_ex[t]].tolist())
+        conserv = set(o_cv[t, :c_cv[t]].tolist())
+        assert exact <= conserv, f"tile {t} dropped {exact - conserv}"
+    # identical hits through the kernel either way
+    got = mt_dense.trace_closest(dmt, o, d, active=act, interpret=True)
+    import os
+    os.environ["RTXPT_MT_TILE_PREPASS"] = "1"
+    try:
+        ref = mt_dense.trace_closest(dmt, o, d, active=act,
+                                     interpret=True)
+    finally:
+        del os.environ["RTXPT_MT_TILE_PREPASS"]
+    assert np.array_equal(np.asarray(ref.prim), np.asarray(got.prim))
+    assert np.allclose(np.asarray(ref.t), np.asarray(got.t))
