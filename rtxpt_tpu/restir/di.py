@@ -26,6 +26,7 @@ from ..scene import lights as LI
 from ..pt import bsdf as B
 from ..pt import shading
 from ..pt.gbuffer import GBuffer
+from . import packs
 from .reservoir import LIGHT_ENV, LIGHT_INVALID, Reservoir, merge, update
 
 # effect-seed ids for the ReSTIR stages (decorrelated via Hash32Combine)
@@ -41,33 +42,9 @@ def _surface_bsdf(gb: GBuffer):
 
 
 def _light_radiance(assets, gb: GBuffer, light, uv):
-    """Li, direction, distance for a reservoir-encoded light sample."""
-    sd = gb.surface.sd
-    lt = assets.lights
-    is_env = light == LIGHT_ENV
-
-    # --- local light sample at fixed uv (all polymorphic kinds:
-    # triangle/sphere area samples, point/directional delta)
-    if lt is not None:
-        li_idx = jnp.maximum(light, 0)
-        dir_local, dist_local, li_v, _, l_ok = LI.eval_sample_at(
-            lt, assets.scene.positions, assets.scene.indices, li_idx, uv,
-            sd.pos)
-        li_v = jnp.where(l_ok[..., None], li_v, 0.0)
-    else:
-        n = light.shape[0]
-        dir_local = jnp.zeros((n, 3))
-        dist_local = jnp.zeros((n,))
-        li_v = jnp.zeros((n, 3))
-
-    # --- env sample: uv is the oct-encoded direction
-    dir_env = mu.decode_oct(uv)
-    li_env = EM.eval_dir(assets.env, dir_env)
-
-    direction = jnp.where(is_env[..., None], dir_env, dir_local)
-    distance = jnp.where(is_env, mu.K_MAX_RAY_TRAVEL, dist_local)
-    li = jnp.where(is_env[..., None], li_env, li_v)
-    return li, direction, distance
+    """Li, direction, distance for a reservoir-encoded light sample
+    (all polymorphic kinds + env; see packs.light_radiance_at)."""
+    return packs.light_radiance_at(assets, gb.surface.sd.pos, light, uv)
 
 
 def eval_target(assets, gb: GBuffer, light, uv):
@@ -100,27 +77,14 @@ def eval_target_cheap(assets, gb: GBuffer, light, uv):
     every lobe family (diffuse, specular incl. delta via an alpha
     floor, diffuse/specular transmission) contributes a term, so no
     direction with nonzero true f gets a zero target. Returns p_hat
-    only."""
-    sd = gb.surface.sd
-    li, direction, _ = _light_radiance(assets, gb, light, uv)
+    only.
 
-    b = _surface_bsdf(gb)
-    wi = sd.to_local(sd.v)
-    wo = sd.to_local(direction)
-    wo_z = wo[..., 2]
-    h = mu.safe_normalize(wi + wo)
-    ndoth = jnp.clip(h[..., 2], 0.0, 1.0)
-    # alpha floor keeps near/exact-delta speculars selectable
-    a2 = jnp.maximum(b.alpha, 0.04) ** 2
-    d_ggx = a2 / (jnp.pi * jnp.square(ndoth * ndoth * (a2 - 1.0) + 1.0))
-    trans_amt = jnp.maximum(b.diff_trans, b.spec_trans)
-    f_r = ((1.0 - trans_amt) * mu.luminance(b.diff_albedo) / jnp.pi
-           + mu.luminance(b.spec_albedo) * d_ggx * 0.25) \
-        * jnp.maximum(wo_z, 0.0)
-    f_t = trans_amt * jnp.maximum(mu.luminance(b.trans_albedo), 0.25) \
-        * jnp.maximum(-wo_z, 0.0) / jnp.pi
-    p_hat = mu.luminance(li) * (f_r + f_t)
-    return jnp.where(gb.valid & (light != LIGHT_INVALID), p_hat, 0.0)
+    Implementation lives in packs.surface_target_cheap (world-space,
+    packed-row form) so center and gathered-neighbor evaluations share
+    one code path; the pack build here is elementwise and CSE'd across
+    stages inside a frame jit."""
+    return packs.surface_target_cheap(assets, packs.pack_surface(gb),
+                                      light, uv)
 
 
 class RISTiles(NamedTuple):
@@ -317,11 +281,14 @@ def temporal_resample(assets, gb: GBuffer, cur: Reservoir,
                        jnp.round(prev_y).astype(jnp.int32),
                        width, prev_y0, prev_rows, height)
 
-    pr = Reservoir(light=prev.light[flat], uv=prev.uv[flat],
-                   w_sum=prev.w_sum[flat], m=prev.m[flat],
-                   target=prev.target[flat])
-    sim = _geometry_similar(gb, prev_gb.normal[flat],
-                            prev_gb.view_z[flat]) & in_bounds
+    # ONE packed row gather for reservoir + reprojection geometry
+    # (single-column gathers lower ~30x slower on-chip; see packs.py)
+    trows = jnp.concatenate(
+        [packs.pack_reservoir(prev), prev_gb.normal,
+         prev_gb.view_z[..., None]], axis=-1)[flat]
+    pr = packs.unpack_reservoir(trows)
+    sim = _geometry_similar(gb, trows[..., 8:11],
+                            trows[..., 11]) & in_bounds
     # clamp history
     m_clamped = jnp.minimum(pr.m, TEMPORAL_M_CLAMP * jnp.maximum(cur.m,
                                                                  1.0))
@@ -389,15 +356,14 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
     if unbiased and mis == "pairwise":
         return _spatial_pairwise(assets, gb, cur, px, py, width, height,
                                  sample_index, taps, radius, y0, rows)
-    import jax
     n = px.shape[0]
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(sample_index))
     g = rng.start_effect(g, EFFECT_RESTIR_SPATIAL)
-    normal2 = gb.normal
-    z2 = gb.view_z
+    sp = packs.pack_surface(gb)
+    rows_all = jnp.concatenate([packs.pack_reservoir(cur), sp], axis=-1)
     r = cur
     m_center = cur.m
-    tap_flats = []
+    tap_rows = []
     tap_ms = []
     for _ in range(taps):
         g, u2 = rng.next_2d(g)
@@ -409,15 +375,15 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
             py.astype(jnp.int32)
             + jnp.round(off[..., 1]).astype(jnp.int32),
             width, y0, rows, height)
-        nb = Reservoir(light=cur.light[flat], uv=cur.uv[flat],
-                       w_sum=cur.w_sum[flat], m=cur.m[flat],
-                       target=cur.target[flat])
-        sim = _geometry_similar(gb, normal2[flat], z2[flat])
+        trows = rows_all[flat]          # ONE row gather per tap
+        nb = packs.unpack_reservoir(trows[..., :8])
+        sim = _geometry_similar(gb, trows[..., 8 + 3:8 + 6],
+                                trows[..., 8 + 9])
         nb = nb._replace(m=jnp.where(sim, nb.m, 0.0),
                          light=jnp.where(sim, nb.light, LIGHT_INVALID))
         p_hat = eval_target_cheap(assets, gb, nb.light, nb.uv)
         r = merge(r, nb, p_hat, u)
-        tap_flats.append(flat)
+        tap_rows.append(trows)
         tap_ms.append(nb.m)
     if not unbiased:
         return r
@@ -425,9 +391,9 @@ def spatial_resample(assets, gb: GBuffer, cur: Reservoir, px, py,
     # center's own support for the SELECTED sample
     p_c = eval_target_cheap(assets, gb, r.light, r.uv)
     z = m_center * (p_c > 0.0)
-    for flat, m_q in zip(tap_flats, tap_ms):
-        gb_q = jax.tree_util.tree_map(lambda a: a[flat], gb)
-        p_q = eval_target_cheap(assets, gb_q, r.light, r.uv)
+    for trows, m_q in zip(tap_rows, tap_ms):
+        p_q = packs.surface_target_cheap(assets, trows[..., 8:24],
+                                         r.light, r.uv)
         z = z + m_q * (p_q > 0.0)
     return r._replace(m=jnp.maximum(z, 1.0))
 
@@ -447,8 +413,6 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
     Generalized RIS then gives W_out = w_sum / p_hat(y_sel) with NO M
     division; we store w_sum pre-multiplied by M so the shared
     contribution_weight() (which divides by M) stays valid."""
-    import jax
-
     from .window import window_flat
     rows = height if rows is None else rows
     n = px.shape[0]
@@ -459,6 +423,12 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
     m_c = jnp.maximum(cur.m, 1e-3)
     ph_cc = cur.target                       # canonical sample at center
     w_canon_share = ph_cc * m_c / k
+
+    # reservoir + resampling-surface rows; ONE gather per tap replaces
+    # the full-GBuffer tree gather (~40 arrays) that dominated this
+    # stage (116.9 ms of the 317 ms ReSTIR share at 360p; packs.py)
+    sp = packs.pack_surface(gb)
+    rows_all = jnp.concatenate([packs.pack_reservoir(cur), sp], axis=-1)
 
     r = Reservoir.empty(n)
     ris_sum = jnp.zeros((n,))
@@ -474,16 +444,16 @@ def _spatial_pairwise(assets, gb: GBuffer, cur: Reservoir, px, py,
             py.astype(jnp.int32)
             + jnp.round(off[..., 1]).astype(jnp.int32),
             width, y0, rows, height)
-        nb = Reservoir(light=cur.light[flat], uv=cur.uv[flat],
-                       w_sum=cur.w_sum[flat], m=cur.m[flat],
-                       target=cur.target[flat])
-        sim = _geometry_similar(gb, gb.normal[flat], gb.view_z[flat]) & \
+        trows = rows_all[flat]
+        nb = packs.unpack_reservoir(trows[..., :8])
+        sim = _geometry_similar(gb, trows[..., 8 + 3:8 + 6],
+                                trows[..., 8 + 9]) & \
             (nb.light != LIGHT_INVALID)
         # p_c(y_i): neighbor sample at the center surface
         ph_ci = eval_target_cheap(assets, gb, nb.light, nb.uv)
         # p_i(y_c): canonical sample at the neighbor surface
-        gb_i = jax.tree_util.tree_map(lambda a: a[flat], gb)
-        ph_ic = eval_target_cheap(assets, gb_i, cur.light, cur.uv)
+        ph_ic = packs.surface_target_cheap(assets, trows[..., 8:24],
+                                           cur.light, cur.uv)
         ph_ii = nb.target                    # cached p_i(y_i)
         mi = jnp.where(
             sim, ph_ii * nb.m / jnp.maximum(ph_ii * nb.m

@@ -77,28 +77,12 @@ def eval_target_cheap(gb: GBuffer, pos, normal, radiance, valid):
     """Resampling-only GI target: Lambert + GGX-D + transmission floor
     (same cheap surface-BRDF family as di.eval_target_cheap; RIS/MIS
     stay unbiased for any consistently-used nonnegative target, and the
-    full BSDF runs once in final_shade). Returns p_hat only."""
-    from ..pt import shading
-    sd = gb.surface.sd
-    to_s = pos - sd.pos
-    dist_sq = jnp.maximum(jnp.sum(to_s * to_s, -1), 1e-9)
-    direction = to_s / jnp.sqrt(dist_sq)[..., None]
-    b = shading.make_wavefront_bsdf(gb.surface)
-    wi = sd.to_local(sd.v)
-    wo = sd.to_local(direction)
-    wo_z = wo[..., 2]
-    h = mu.safe_normalize(wi + wo)
-    ndoth = jnp.clip(h[..., 2], 0.0, 1.0)
-    a2 = jnp.maximum(b.alpha, 0.04) ** 2
-    d_ggx = a2 / (jnp.pi * jnp.square(ndoth * ndoth * (a2 - 1.0) + 1.0))
-    trans_amt = jnp.maximum(b.diff_trans, b.spec_trans)
-    f_r = ((1.0 - trans_amt) * mu.luminance(b.diff_albedo) / jnp.pi
-           + mu.luminance(b.spec_albedo) * d_ggx * 0.25) \
-        * jnp.maximum(wo_z, 0.0)
-    f_t = trans_amt * jnp.maximum(mu.luminance(b.trans_albedo), 0.25) \
-        * jnp.maximum(-wo_z, 0.0) / jnp.pi
-    p_hat = mu.luminance(radiance) * (f_r + f_t)
-    return jnp.where(gb.valid & valid, p_hat, 0.0)
+    full BSDF runs once in final_shade). Returns p_hat only.
+
+    Shared packed-row implementation: see packs.gi_target_cheap."""
+    from . import packs
+    return packs.gi_target_cheap(packs.pack_surface(gb), pos, normal,
+                                 radiance, valid)
 
 
 def _jacobian(gb_pos, sample: GIReservoir, src_receiver_pos):
@@ -138,11 +122,6 @@ def _merge(r: GIReservoir, other: GIReservoir, p_hat_center, jac,
         valid=r.valid | (take & other.valid))
 
 
-def _gather(r: GIReservoir, flat) -> GIReservoir:
-    return GIReservoir(pos=r.pos[flat], normal=r.normal[flat],
-                       radiance=r.radiance[flat], w_sum=r.w_sum[flat],
-                       m=r.m[flat], target=r.target[flat],
-                       valid=r.valid[flat])
 
 
 def temporal_resample(gb: GBuffer, cur: GIReservoir,
@@ -165,10 +144,15 @@ def temporal_resample(gb: GBuffer, cur: GIReservoir,
     flat = window_flat(jnp.round(prev_x).astype(jnp.int32),
                        jnp.round(prev_y).astype(jnp.int32),
                        width, prev_y0, prev_rows, height)
-    pr = _gather(prev, flat)
+    from . import packs
+    # ONE packed row gather (reservoir + reprojection geometry; packs.py)
+    trows = jnp.concatenate(
+        [packs.pack_gi_reservoir(prev), prev_normal,
+         prev_z[..., None]], axis=-1)[flat]
+    pr = packs.unpack_gi_reservoir(trows[..., :14])
     sim = in_b & gb.valid & \
-        (jnp.sum(gb.normal * prev_normal[flat], -1) > 0.9) & \
-        (jnp.abs(gb.view_z - prev_z[flat])
+        (jnp.sum(gb.normal * trows[..., 14:17], -1) > 0.9) & \
+        (jnp.abs(gb.view_z - trows[..., 17])
          < 0.1 * jnp.maximum(gb.view_z, 1e-3))
     pr = pr._replace(m=jnp.where(sim, jnp.minimum(
         pr.m, GI_TEMPORAL_M_CLAMP), 0.0), valid=pr.valid & sim)
@@ -207,13 +191,15 @@ def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
                      radius: float = 16.0, y0=0,
                      rows=None) -> GIReservoir:
     from .window import window_flat
+    from . import packs
     rows = height if rows is None else rows
     g = rng.make(px, py, jnp.uint32(0), jnp.uint32(frame))
     g = rng.start_effect(g, EFFECT_RESTIR_GI_SPATIAL)
     r = cur
-    pos2 = gb.pos
-    normal2 = gb.normal
-    z2 = gb.view_z
+    # reservoir + src-receiver geometry rows; one gather per tap
+    rows_all = jnp.concatenate(
+        [packs.pack_gi_reservoir(cur), gb.pos, gb.normal,
+         gb.view_z[..., None]], axis=-1)
     for _ in range(taps):
         g, u2 = rng.next_2d(g)
         g, u = rng.next_1d(g)
@@ -224,16 +210,18 @@ def spatial_resample(gb: GBuffer, cur: GIReservoir, px, py, width, height,
             py.astype(jnp.int32)
             + jnp.round(off[..., 1]).astype(jnp.int32),
             width, y0, rows, height)
-        nb = _gather(cur, flat)
+        trows = rows_all[flat]
+        nb = packs.unpack_gi_reservoir(trows[..., :14])
         sim = gb.valid & \
-            (jnp.sum(gb.normal * normal2[flat], -1) > 0.9) & \
-            (jnp.abs(gb.view_z - z2[flat])
+            (jnp.sum(gb.normal * trows[..., 17:20], -1) > 0.9) & \
+            (jnp.abs(gb.view_z - trows[..., 20])
              < 0.1 * jnp.maximum(gb.view_z, 1e-3))
         nb = nb._replace(m=jnp.where(sim, nb.m, 0.0),
                          valid=nb.valid & sim)
         p_hat = eval_target_cheap(gb, nb.pos, nb.normal,
                                         nb.radiance, nb.valid)
-        jac = jnp.clip(_jacobian(gb.pos, nb, pos2[flat]), 0.0, 10.0)
+        jac = jnp.clip(_jacobian(gb.pos, nb, trows[..., 14:17]),
+                       0.0, 10.0)
         r = _merge(r, nb, p_hat, jac, u)
     return r
 
