@@ -37,19 +37,27 @@ RT_ITERS = 6
 TARGET_PATHS_PER_SEC = 1920 * 1080 * 30  # 62.2M (config 5 goal)
 
 
-def _realtime_ms(host, w, h, frames, env=None, cam=None):
-    """Steady-state ms/frame of the default realtime pipeline."""
+def _realtime_ms(host, w, h, frames, env=None, cam=None,
+                 display_size=None):
+    """Steady-state ms/frame of the default realtime pipeline.
+
+    display_size=(Wd,Hd): render at (w,h) and temporally upscale to the
+    display size through the TAAU slot — the reference's own 30 fps
+    contract runs at DLSS quality-mode REDUCED render resolution
+    (sl::DLSSOptimalSettings drives render size, Sample.cpp:1733-1781),
+    so the upscaled number is the contract-matching headline."""
     import numpy as np
     from rtxpt_tpu.models.realtime import RealtimeRenderer
     from rtxpt_tpu.scene import procedural
     cam = cam or procedural.default_camera(w, h)
     r = RealtimeRenderer(host, cam, env_radiance=env)
-    np.asarray(r.render_frame(w, h))     # compile (no-history variant)
-    np.asarray(r.render_frame(w, h))     # compile (history variant)
+    kw = {} if display_size is None else dict(display_size=display_size)
+    np.asarray(r.render_frame(w, h, **kw))  # compile (no-history variant)
+    np.asarray(r.render_frame(w, h, **kw))  # compile (history variant)
     t0 = time.time()
     out = None
     for _ in range(frames):
-        out = r.render_frame(w, h)
+        out = r.render_frame(w, h, **kw)
     np.asarray(out)
     return (time.time() - t0) / frames * 1e3
 
@@ -108,6 +116,76 @@ def main():
     except Exception as e:
         extras["mrays_error"] = repr(e)[:200]
 
+    # ---- per-kernel roofline (VERDICT r4 next #6): how far from the
+    # hardware are the trace kernels? Modeled MXU FLOPs come from the
+    # prepass worklists (visits x one (RC,48)@(48,TILE) bf16 pass);
+    # modeled HBM traffic is the wavefront I/O + one weight fetch. Peaks
+    # are v5e (override via env for other chips).
+    if os.environ.get("RTXPT_BENCH_SKIP_ROOFLINE", "0") != "1" and \
+            left() > budget * 0.75:
+        try:
+            import jax
+            import jax.numpy as jnp
+            from rtxpt_tpu.ops import mt_dense
+            from rtxpt_tpu.pt import integrator as integ
+            peak_tflops = float(os.environ.get(
+                "RTXPT_PEAK_BF16_TFLOPS", "197"))
+            peak_hbm = float(os.environ.get(
+                "RTXPT_PEAK_HBM_GBS", "819"))
+            dmt = r.assets.dense
+            n = WIDTH * HEIGHT
+            px, py = r._pixel_grid(WIDTH, HEIGHT)
+            p0 = integ.init_paths(r.camera, px, py, cfg,
+                                  C.default_constants(0), 0)
+            o, d = p0.origin, p0.direction
+            act = jnp.ones((n,), bool)
+            tm = jnp.full((n,), 1e30, jnp.float32)
+
+            def timed(f, *a, reps=8):
+                np.asarray(jax.tree_util.tree_leaves(f(*a))[0])
+                t0 = time.time()
+                for _ in range(reps):
+                    out = f(*a)
+                np.asarray(jax.tree_util.tree_leaves(out)[0])
+                return (time.time() - t0) / reps
+
+            n_pad = (n + mt_dense.TILE - 1) // mt_dense.TILE \
+                * mt_dense.TILE
+            padv = lambda a, c=0.0: jnp.pad(
+                a, ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1),
+                constant_values=c)
+            cnts, _ = jax.jit(lambda o, d, tm, a:
+                              mt_dense._tile_worklists_exact(
+                                  dmt.aabb, o, d, tm, a,
+                                  nc=dmt.num_clusters))(
+                padv(o), padv(d, 1.0), padv(tm), padv(act))
+            visits = float(jnp.sum(cnts))        # upper bound (pl.when
+            #                                      gates skip some)
+            rc = dmt.rc
+            flops_per_visit = rc * 48 * mt_dense.TILE * 2.0
+            w = dmt.weights48
+            rl = {}
+            for name, any_hit in (("mt_closest", False),
+                                  ("mt_anyhit", True)):
+                f = jax.jit(lambda o, d, a, ah=any_hit:
+                            mt_dense._trace_dense(
+                                w, dmt.aabb, dmt.center, o, d, tm, a,
+                                nc=dmt.num_clusters,
+                                has_omm=dmt.has_omm, any_hit=ah))
+                dt_k = timed(f, o, d, act)
+                flops = visits * flops_per_visit
+                bytes_mv = n * (8 * 4 + 2 * 4) + w.size * 2
+                rl[name] = {
+                    "ms": round(dt_k * 1e3, 2),
+                    "mfu": round(flops / dt_k / (peak_tflops * 1e12), 4),
+                    "hbm_frac": round(
+                        bytes_mv / dt_k / (peak_hbm * 1e9), 4),
+                    "visits_per_tile": round(
+                        visits / (n_pad // mt_dense.TILE), 1)}
+            extras["roofline"] = rl
+        except Exception as e:
+            extras["roofline_error"] = repr(e)[:200]
+
     # ---- coarse stage decomposition: NEE share via a no-NEE variant
     if os.environ.get("RTXPT_BENCH_SKIP_STAGES", "0") != "1" and \
             left() > budget * 0.7:
@@ -135,6 +213,15 @@ def main():
         try:
             extras["realtime_ms_per_frame_360p"] = round(
                 _realtime_ms(host, 640, 360, RT_ITERS), 1)
+            # 1080p TAAU headline: 960x540 render -> 1920x1080 display,
+            # the same render-scale contract the reference's 30 fps
+            # number uses (DLSS quality mode, Sample.cpp:1733-1781)
+            if left() > budget * 0.55:
+                extras["realtime_ms_per_frame_1080p_taau"] = round(
+                    _realtime_ms(host, 960, 540, RT_ITERS,
+                                 display_size=(1920, 1080)), 1)
+                extras["realtime_fps_1080p_taau"] = round(
+                    1e3 / extras["realtime_ms_per_frame_1080p_taau"], 2)
             if left() > budget * 0.4:
                 extras["realtime_ms_per_frame_1080p"] = round(
                     _realtime_ms(host, 1920, 1080, RT_ITERS), 1)
@@ -146,16 +233,33 @@ def main():
             extras["realtime_error"] = repr(e)[:300]  # metric alive
 
     # ---- Bistro-class city scene at 1080p (BASELINE config 5 class):
-    # forces the two-level/instanced BVH path, not the dense-MT tier
+    # forces the two-level/instanced BVH path, not the dense-MT tier.
+    # The instanced stage-1 program at the default 2^19-pixel row tiles
+    # crashed the tunnel's tpu_compile_helper (BENCH_r03/r04 HTTP 500),
+    # so the city runs at smaller dispatches; falls back smaller once.
     if os.environ.get("RTXPT_BENCH_SKIP_CITY", "0") != "1" and \
             left() > budget * 0.25:
-        try:
-            city = procedural.build_city().finish()
-            extras["realtime_ms_per_frame_city_1080p"] = round(
-                _realtime_ms(city, 1920, 1080, max(RT_ITERS // 2, 2),
-                             cam=procedural.city_camera(1920, 1080)), 1)
-        except Exception as e:
-            extras["city_error"] = repr(e)[:300]
+        city = procedural.build_city().finish()
+        for tile_pix in ("131072", "65536"):
+            os.environ["RTXPT_STAGE1_TILE_PIXELS"] = tile_pix
+            try:
+                # TAAU city first: the contract-matching (DLSS-mode)
+                # number at 1/4 the render pixels
+                extras["realtime_ms_per_frame_city_1080p_taau"] = round(
+                    _realtime_ms(city, 960, 540, 2,
+                                 cam=procedural.city_camera(960, 540),
+                                 display_size=(1920, 1080)), 1)
+                if left() > budget * 0.2:
+                    extras["realtime_ms_per_frame_city_1080p"] = round(
+                        _realtime_ms(
+                            city, 1920, 1080, 1,
+                            cam=procedural.city_camera(1920, 1080)), 1)
+                extras["city_tile_pixels"] = int(tile_pix)
+                extras.pop("city_error", None)
+                break
+            except Exception as e:
+                extras["city_error"] = repr(e)[:300]
+        os.environ.pop("RTXPT_STAGE1_TILE_PIXELS", None)
 
     print(json.dumps({
         "metric": "reference-mode path throughput (800x600, full BSDF, "

@@ -66,7 +66,14 @@ class PTConfig:
     #   full-pytree XLA permute (~40 gathers/bounce) every bounce;
     # "octant": stable-partition live lanes to the front + direction-
     #   octant sort, permuting the whole PathState (round-2 behavior;
-    #   helps the BVH kernels on big scenes at permute-gather cost).
+    #   helps the BVH kernels on big scenes at permute-gather cost);
+    # "material": stable-sort by last-shaded material id (the SER
+    #   material-coherence key, Sample.cpp:1087-1113) — A/B harness
+    #   tools/profile_matsort_ab.py;
+    # "raystream": morton3d(scatter origin cell)*8 + direction octant —
+    #   rebuilds SPATIAL tile coherence for secondary bounces, the
+    #   dominant dense-MT cost driver (cluster-union worklists); the
+    #   only sort mode that composes with path regeneration.
     wavefront_sort: str = "none"
     # tail compaction: once the live set of a non-regen wavefront fits
     # in n//8 lanes, gather survivors and continue the bounce loop at
@@ -82,6 +89,14 @@ class PTConfig:
     # applies to non-FILL wavefronts with <=1 distant + <=1 local NEE
     # sample and non-ReGIR local sampling.
     shade_megakernel: bool = True
+    # sample-generator quality tier (reference SampleUI "sample
+    # generator" setting): "ld" = Owen-scrambled Sobol low-discrepancy
+    # (StatelessLowDiscrepancySampleGenerator, default), "hq" =
+    # high-quality uniform (StatelessHQUniformSampleGenerator.hlsli:20
+    # — reference-mode tier; extra output mixing round, no LD), or
+    # "uniform" = plain hash streams (cheapest). A/B convergence gate:
+    # tests/test_rng_tiers.py
+    rng_quality: str = "ld"
     # NRD-slot denoiser selection (Sample.cpp:1461-1466): "relax"
     # (a-trous variance-guided, denoise/relax.py) or "reblur"
     # (hit-distance-driven kernel scaling, denoise/reblur.py)

@@ -315,3 +315,23 @@ def morton2d(px, py):
     scheduling half of the reference's SER, Sample.hlsl:122-131)."""
     return _spread_bits16(px.astype(jnp.uint32)) | (
         _spread_bits16(py.astype(jnp.uint32)) << 1)
+
+
+def _spread_bits10(x):
+    """Spread the low 10 bits of x so bit i lands at bit 3i."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def morton3d(qx, qy, qz):
+    """Z-order key from 10-bit quantized 3D coords (30-bit key). Used to
+    order SECONDARY wavefront lanes by scatter-ray origin cell so each
+    traversal tile's cluster worklist (the union over its rays) stays
+    small — the spatial half of the raystream re-sort."""
+    return (_spread_bits10(qx.astype(jnp.uint32))
+            | (_spread_bits10(qy.astype(jnp.uint32)) << 1)
+            | (_spread_bits10(qz.astype(jnp.uint32)) << 2))

@@ -168,6 +168,10 @@ def sobol(index, dimension):
     return out
 
 
+# output-finalizer key of the HQ tier (see `hq` field below)
+_HQ_FINALIZE_KEY = np.uint32(0x6C62272E)
+
+
 class SampleGenerator(NamedTuple):
     """Functional port of StatelessLowDiscrepancySampleGenerator
     (StatelessSampleGenerators.hlsli:74-160). All fields uint32, same shape;
@@ -177,12 +181,18 @@ class SampleGenerator(NamedTuple):
     sample_index: jnp.ndarray  # m_sampleIndex
     dimension: jnp.ndarray     # m_dimension (0xFFFFFFFF = non-LD mode)
     active: jnp.ndarray        # m_activeIndex
+    hq: jnp.ndarray            # 0/1: high-quality output finalizer (the
+    #   StatelessHQUniformSampleGenerator.hlsli:20 tier — reference-mode
+    #   quality setting). The STATE machine is identical to the uniform
+    #   tier; outputs pass one extra independent mixing round, giving a
+    #   decorrelated, higher-quality stream at ~5 extra VPU ops/draw.
 
 
 def make(pixel_x, pixel_y, vertex_index, sample_index,
-         low_discrepancy=False) -> SampleGenerator:
+         low_discrepancy=False, hq=False) -> SampleGenerator:
     """Seed a generator from (pixel, path vertex, sample index)
-    (StatelessSampleGenerators.hlsli:85-93)."""
+    (StatelessSampleGenerators.hlsli:85-93). hq=True selects the
+    high-quality uniform tier (StatelessHQUniformSampleGenerator)."""
     px = _u32(pixel_x)
     py = _u32(pixel_y)
     base = hash32_combine(hash32(_u32(vertex_index) + np.uint32(0x035F9F29)),
@@ -196,6 +206,7 @@ def make(pixel_x, pixel_y, vertex_index, sample_index,
         sample_index=jnp.broadcast_to(si, shape),
         dimension=jnp.full_like(base, _NON_LD),
         active=jnp.zeros_like(base),
+        hq=jnp.broadcast_to(_u32(jnp.asarray(hq, jnp.uint32)), shape),
     )
     return start_effect(g, EFFECT_BASE, low_discrepancy)
 
@@ -216,6 +227,7 @@ def start_effect(g: SampleGenerator, effect_seed, low_discrepancy=False,
         dimension=jnp.where(ld, jnp.zeros_like(g.base),
                             jnp.full_like(g.base, _NON_LD)),
         active=jnp.broadcast_to(active, g.base.shape),
+        hq=g.hq,
     )
 
 
@@ -227,13 +239,19 @@ def next_uint(g: SampleGenerator, allow_ld: bool = True):
     started with low_discrepancy=False (NEE, russian roulette, ...):
     the LD machinery (Sobol + Owen scrambles) is skipped entirely;
     bit-identical to the general path for such generators."""
-    # --- non-LD path: effect = Hash32(effect)
+    # --- non-LD path: effect = Hash32(effect); the HQ tier passes the
+    # OUTPUT through one extra independent mixing round (state machine
+    # identical, so hq toggling never desyncs streams)
     eff_hashed = hash32(g.effect)
+    out_nold = jnp.where(g.hq != 0,
+                         hash32(eff_hashed ^ _HQ_FINALIZE_KEY),
+                         eff_hashed)
     if not allow_ld:
         g2 = SampleGenerator(base=g.base, effect=eff_hashed,
                              sample_index=g.sample_index,
-                             dimension=g.dimension, active=g.active)
-        return g2, eff_hashed
+                             dimension=g.dimension, active=g.active,
+                             hq=g.hq)
+        return g2, out_nold
 
     in_ld = g.dimension != _NON_LD
 
@@ -253,13 +271,14 @@ def next_uint(g: SampleGenerator, allow_ld: bool = True):
                              g.effect)
     new_dim = jnp.where(exhausted, jnp.full_like(new_dim, _NON_LD), new_dim)
 
-    out = jnp.where(in_ld, ld_sample, eff_hashed)
+    out = jnp.where(in_ld, ld_sample, out_nold)
     g2 = SampleGenerator(
         base=g.base,
         effect=jnp.where(in_ld, eff_after_ld, eff_hashed),
         sample_index=g.sample_index,
         dimension=jnp.where(in_ld, new_dim, g.dimension),
         active=g.active,
+        hq=g.hq,
     )
     return g2, out
 

@@ -79,9 +79,15 @@ def _cross_mat(v):
 class DenseMT:
     """Per-cluster MT weight planes + worklist metadata."""
 
-    def __init__(self, weights, aabb, tri_ids, tri9, tri9_gp, center,
-                 num_clusters: int, has_omm: bool):
+    def __init__(self, weights, weights48, aabb, tri_ids, tri9, tri9_gp,
+                 center, num_clusters: int, has_omm: bool):
         self.weights = weights        # (NC*RC, 16) f32; RC = (4|5)*CLUSTER
+        self.weights48 = weights48    # (NC*RC, 48) bf16 [w_hi|w_lo|w_hi]:
+        #                               the 3-pass f32-split matmul
+        #                               STACKED along K so one MXU pass
+        #                               at K=48 replaces three at K=16
+        #                               (3x depth utilization; see
+        #                               _cluster_matmul)
         self.aabb = aabb              # (NC, 6) f32 cluster min.xyz max.xyz
         self.tri_ids = tri_ids        # (NC*CLUSTER,) i32 original ids
         self.tri9 = tri9              # (NC*CLUSTER, 10) f32 recentered
@@ -97,13 +103,21 @@ class DenseMT:
         return (5 if self.has_omm else 4) * CLUSTER
 
     def tree_flatten(self):
-        return ((self.weights, self.aabb, self.tri_ids, self.tri9,
-                 self.tri9_gp, self.center),
+        return ((self.weights, self.weights48, self.aabb, self.tri_ids,
+                 self.tri9, self.tri9_gp, self.center),
                 (self.num_clusters, self.has_omm))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, num_clusters=aux[0], has_omm=aux[1])
+
+
+def _stack_weights48(w_f32):
+    """(R,16) f32 -> (R,48) bf16 [w_hi | w_lo | w_hi] for the stacked-K
+    single-pass split matmul (pairs with x rows [x_hi; x_hi; x_lo])."""
+    w_hi = w_f32.astype(jnp.bfloat16)
+    w_lo = (w_f32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([w_hi, w_lo, w_hi], axis=1)
 
 
 def supported(n_tris: int) -> bool:
@@ -190,8 +204,10 @@ def build_dense(positions, indices, tri_omm=None) -> DenseMT:
     tri9[slot, 9] = order.astype(np.float32)
     from . import gather_pallas as GPL
     tri9_gp = GPL.pack_f32(tri9) if GPL.supported(t_pad) else None
+    w_f32 = jnp.asarray(w.astype(np.float32))
     return DenseMT(
-        weights=jnp.asarray(w.astype(np.float32)),
+        weights=w_f32,
+        weights48=_stack_weights48(w_f32),
         aabb=jnp.asarray(aabb),
         tri_ids=jnp.asarray(ids),
         tri9=jnp.asarray(tri9),
@@ -263,7 +279,8 @@ def refresh_dense(dense: DenseMT, positions, indices) -> DenseMT:
     from . import gather_pallas as GPL
     tri9_gp = GPL.pack_f32_device(tri9) \
         if dense.tri9_gp is not None else None
-    return DenseMT(weights=weights, aabb=aabb, tri_ids=ids, tri9=tri9,
+    return DenseMT(weights=weights, weights48=_stack_weights48(weights),
+                   aabb=aabb, tri_ids=ids, tri9=tri9,
                    tri9_gp=tri9_gp, center=center, num_clusters=nc,
                    has_omm=has_omm)
 
@@ -388,9 +405,16 @@ def _tile_worklists_interval(aabb, origins, dirs, t_max, active, nc: int):
     return counts, order
 
 
+# Prepass selection is read ONCE at import (like RTXPT_MT_CLUSTER):
+# _worklists_fn is called inside jitted _trace_dense, so a post-import
+# env toggle would be silently baked into the jit cache. Tests and
+# profilers that A/B the prepass set this module global and call
+# _trace_dense._clear_cache() (tools/profile_prepass_ab.py pattern).
+TILE_PREPASS = _os.environ.get("RTXPT_MT_TILE_PREPASS", "0") == "1"
+
+
 def _worklists_fn():
-    return _tile_worklists_interval \
-        if _os.environ.get("RTXPT_MT_TILE_PREPASS", "0") == "1" \
+    return _tile_worklists_interval if TILE_PREPASS \
         else _tile_worklists_exact
 
 
@@ -453,31 +477,32 @@ def _matmul_precision():
     return os.environ.get("RTXPT_MT_PRECISION", "high")
 
 
-def _cluster_matmul(wc, x, x_hi, x_lo, precision: str):
-    """(RC,16) @ (16,TILE) at the configured precision.
+def _cluster_matmul(wc, x, x48, precision: str):
+    """Cluster coefficient matmul at the configured precision.
 
-    'highest': f32 via the 6-pass XLA lowering. 'high': manual 3-pass
-    bf16 split (w_hi@x_hi + w_lo@x_hi + w_hi@x_lo, each a single MXU
-    pass; Mosaic has no HIGH lowering) — ~2^-16 relative, enough for
-    the 6-bit-quantized winner SELECTION this kernel performs now that
-    exact t/u/v are re-solved outside. 'default': one bf16 pass."""
+    'highest': (RC,16)f32 @ (16,TILE)f32 via the 6-pass XLA lowering.
+    'high' (production): the 3-term f32-split product
+    w_hi@x_hi + w_lo@x_hi + w_hi@x_lo STACKED along the contraction:
+    ONE bf16 (RC,48) @ (48,TILE) MXU pass with rows [w_hi|w_lo|w_hi]
+    against [x_hi;x_hi;x_lo]. Same ~2^-16-relative result (the MXU
+    accumulates all three partials in one f32 accumulator), but 3x the
+    systolic-depth utilization and a third of the per-visit MXU ops —
+    measured 22.1 -> (see ROADMAP round 5) on the 3-pass version this
+    replaces. Precision is only consumed by the 6-bit-quantized winner
+    SELECTION (exact t/u/v re-solve happens outside the kernel).
+    'default': one bf16 K=16 pass (w_hi columns of the stacked buffer).
+    """
     dims = (((1,), (0,)), ((), ()))
     if precision == "highest":
         return jax.lax.dot_general(
             wc, x, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-    w_hi = wc.astype(jnp.bfloat16)
     if precision == "default":
-        return jax.lax.dot_general(w_hi, x_hi, dims,
+        return jax.lax.dot_general(wc[:, 0:16], x48[0:16],
+                                   dims,
                                    preferred_element_type=jnp.float32)
-    w_lo = (wc - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(w_hi, x_hi, dims,
-                              preferred_element_type=jnp.float32)
-    out += jax.lax.dot_general(w_lo, x_hi, dims,
+    return jax.lax.dot_general(wc, x48, dims,
                                preferred_element_type=jnp.float32)
-    out += jax.lax.dot_general(w_hi, x_lo, dims,
-                               preferred_element_type=jnp.float32)
-    return out
 
 
 def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
@@ -491,8 +516,12 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
         i = pl.program_id(0)
         cnt = counts_ref[i]
         x = _features(o_ref, d_ref)
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if precision == "highest":
+            x48 = None
+        else:
+            x_hi = x.astype(jnp.bfloat16)
+            x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            x48 = jnp.concatenate([x_hi, x_hi, x_lo], axis=0)
         act = act_ref[0] != 0
         t_min = jnp.float32(0.0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, TILE), 0)
@@ -539,7 +568,7 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
                 @pl.when(jnp.any(live))
                 def _():
                     wc = w_ref[pl.ds(c * RC, RC), :]
-                    out = _cluster_matmul(wc, x, x_hi, x_lo, precision)
+                    out = _cluster_matmul(wc, x, x48, precision)
                     ok, _ = _pair_test(out, has_omm, t_min,
                                        tmax_ref[0], live, need_t=False)
                     # f32 min-reduction instead of jnp.any over i1
@@ -560,7 +589,7 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
                 @pl.when(jnp.any(live))
                 def _():
                     wc = w_ref[pl.ds(c * RC, RC), :]
-                    out = _cluster_matmul(wc, x, x_hi, x_lo, precision)
+                    out = _cluster_matmul(wc, x, x48, precision)
                     best = t_out[0]
                     ok, t = _pair_test(out, has_omm, t_min, best, act,
                                        need_t=True)
@@ -606,6 +635,9 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
     counts, order = _worklists_fn()(aabb, o, d, tm, ac, nc=nc)
 
     RC = (5 if has_omm else 4) * CLUSTER
+    # `weights` is precision-matched by the caller: (NC*RC,48) bf16
+    # stacked-K planes for high/default, (NC*RC,16) f32 for highest
+    wcols = weights.shape[1]
     kernel = _make_kernel(nc, has_omm, any_hit)
     # cluster AABBs as SMEM scalars, recentered like the ray origins so
     # the in-kernel slab gate works in the same frame
@@ -616,7 +648,7 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
         in_specs=[
             pl.BlockSpec((nc, 6), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((nc * RC, 16), lambda i, *_: (0, 0),
+            pl.BlockSpec((nc * RC, wcols), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -651,7 +683,9 @@ def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_q, slot, = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
+    w = dmt.weights if _matmul_precision() == "highest" \
+        else dmt.weights48
+    t_q, slot, = _trace_dense(w, dmt.aabb, dmt.center,
                               origins, dirs, t_max, active,
                               nc=dmt.num_clusters, has_omm=dmt.has_omm,
                               any_hit=False, interpret=interpret)
@@ -694,7 +728,9 @@ def trace_anyhit(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     if active is None:
         active = jnp.ones((n,), bool)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    _, slot = _trace_dense(dmt.weights, dmt.aabb, dmt.center,
+    w = dmt.weights if _matmul_precision() == "highest" \
+        else dmt.weights48
+    _, slot = _trace_dense(w, dmt.aabb, dmt.center,
                            origins, dirs, t_max, active,
                            nc=dmt.num_clusters, has_omm=dmt.has_omm,
                            any_hit=True, interpret=interpret)

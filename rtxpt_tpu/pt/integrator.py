@@ -461,7 +461,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     regen = spp > 1
     if regen:
         assert not fill and not capture_first_hit and \
-            injected_hit is None and cfg.wavefront_sort == "none", \
+            injected_hit is None, \
             "path regeneration supports plain reference renders only"
     max_iters = spp * (cfg.max_bounces + 2) + K_MAX_REJECTED_HITS + 2 \
         if regen else cfg.max_bounces + K_MAX_REJECTED_HITS + 2
@@ -474,7 +474,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             # sample 0's randoms
             base = base + s_arr.astype(jnp.uint32)
         return rng.make(path.px, path.py,
-                        path.vertex_index.astype(jnp.uint32), base)
+                        path.vertex_index.astype(jnp.uint32), base,
+                        hq=cfg.rng_quality == "hq")
 
     def body(carry, hit_override=None):
         path, it, first, _, s_arr, accum, rays = carry
@@ -618,6 +619,7 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         use_shade_kernel = (
             cfg.shade_megakernel and cfg.nee_enabled
             and (nee_local == 0 or cfg.nee_local_type != 2)
+            and cfg.rng_quality == "ld"
             and _shade_kernel_on())
         if use_shade_kernel:
             # fused shade+NEE megakernel (pt/shade_kernel.py) — ONE
@@ -698,7 +700,8 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
             # --- GenerateScatterRay (PathTracer.hlsli:158-264)
             g = rng.start_effect(
                 g, rng.EFFECT_SCATTER_BSDF,
-                path.diffuse_bounces < rng.DISABLE_LD_AFTER_DIFFUSE_BOUNCES)
+                (path.diffuse_bounces < rng.DISABLE_LD_AFTER_DIFFUSE_BOUNCES)
+                if cfg.rng_quality == "ld" else False)
             g, u3 = rng.next_3d(g)
             bsdf = shading.make_wavefront_bsdf(surf)
             wi_local = sd.to_local(sd.v)
@@ -1040,15 +1043,73 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                            1.0 if cfg.use_env_lights else 0.0))
             s_arr = s_new
 
-        if cfg.wavefront_sort == "octant":
-            octant = ((direction[..., 0] < 0).astype(jnp.int32)
-                      + 2 * (direction[..., 1] < 0).astype(jnp.int32)
-                      + 4 * (direction[..., 2] < 0).astype(jnp.int32))
-            sort_key = jnp.where(active, octant, 8)
+        if cfg.wavefront_sort in ("octant", "material", "raystream"):
+            if cfg.wavefront_sort == "octant":
+                octant = ((direction[..., 0] < 0).astype(jnp.int32)
+                          + 2 * (direction[..., 1] < 0).astype(jnp.int32)
+                          + 4 * (direction[..., 2] < 0).astype(jnp.int32))
+                sort_key = jnp.where(active, octant, 8)
+            elif cfg.wavefront_sort == "raystream":
+                # RAYSTREAM re-sort (round 5): secondary bounces cost
+                # ~4x the cluster visits of coherent primaries (57.5 vs
+                # 14.1 visits/tile, ROADMAP r5 microprofile) because a
+                # tile's traversal cost is the cluster UNION of its
+                # rays. Key = morton3d(origin cell) * 8 + direction
+                # octant: lanes starting in the same scene cell heading
+                # the same way share worklists. The reference gets this
+                # from hardware SER hit-coherence reordering
+                # (NvReorderThread, Sample.hlsl:122-131); on TPU the
+                # argsort+gather IS the reorder unit. Uses the NEW
+                # scatter ray (post-regen), so regenerated camera lanes
+                # sort with the primaries of their cell.
+                if assets.dense is not None:
+                    lo = jnp.min(assets.dense.aabb[:, 0:3], axis=0)
+                    hi = jnp.max(assets.dense.aabb[:, 3:6], axis=0)
+                else:
+                    p0 = assets.soup.verts[:, 0:3]
+                    lo = jnp.min(jnp.minimum(
+                        p0, jnp.minimum(p0 + assets.soup.verts[:, 3:6],
+                                        p0 + assets.soup.verts[:, 6:9])),
+                        axis=0)
+                    hi = jnp.max(jnp.maximum(
+                        p0, jnp.maximum(p0 + assets.soup.verts[:, 3:6],
+                                        p0 + assets.soup.verts[:, 6:9])),
+                        axis=0)
+                scale = 31.999 / jnp.maximum(hi - lo, 1e-6)
+                q = jnp.clip((new_path.origin - lo) * scale,
+                             0.0, 31.999).astype(jnp.uint32)
+                octant = ((new_path.direction[..., 0] < 0)
+                          .astype(jnp.uint32)
+                          + 2 * (new_path.direction[..., 1] < 0)
+                          .astype(jnp.uint32)
+                          + 4 * (new_path.direction[..., 2] < 0)
+                          .astype(jnp.uint32))
+                key = (mu.morton3d(q[..., 0], q[..., 1], q[..., 2])
+                       * jnp.uint32(8) + octant).astype(jnp.int32)
+                sort_key = jnp.where(new_path.active, key,
+                                     jnp.int32(1 << 30))
+            else:
+                # SER material-coherence half (VERDICT r4 next #7): the
+                # reference reorders threads by a 16-bit material/
+                # sub-instance key before shading (ComputeSubInstanceData
+                # key build, RTXPT/Sample.cpp:1087-1113; NvReorderThread
+                # Sample.hlsl:122-131). TPU translation: stable-sort the
+                # wavefront by the LAST shaded material id — paths
+                # leaving the same material cluster spatially, so the
+                # next bounce's loads (textures, material rows) and
+                # traversal worklists coherce. A/B harness:
+                # tools/profile_matsort_ab.py.
+                mat_key = sd.material_id.astype(jnp.int32)
+                sort_key = jnp.where(active, mat_key, jnp.int32(1 << 30))
             perm = jnp.argsort(sort_key, stable=True)
             new_path = jax.tree_util.tree_map(lambda a: a[perm], new_path)
             first = jax.tree_util.tree_map(lambda a: a[perm], first)
             lane0 = carry[3][perm]
+            if regen:
+                # regen lanes carry per-lane sample counters and an
+                # accumulator: they ride the same permutation
+                s_arr = s_arr[perm]
+                accum = accum[perm]
         else:
             lane0 = carry[3]
         return (new_path, it + 1, first, lane0, s_arr, accum, rays)
@@ -1090,6 +1151,21 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
     can_compact = (not regen and cfg.wavefront_sort == "none"
                    and cfg.wavefront_compaction
                    and n >= cfg.wavefront_compaction_min)
+    # regen multi-STAGE compaction (round 5): with path regeneration,
+    # lanes go dead only when their pixel exhausts all spp samples, so
+    # occupancy decays to ~30-40% over the chunk — and the measured
+    # scattered-dead trace cost is ~FULL cost (a tile's cost is the
+    # cluster union of its live rays, ops/mt_dense.py), so tile gating
+    # recovers nothing. Width shrink is the lever that pays: halve the
+    # wavefront each time the live set fits (n -> n/2 -> n/4 -> n/8),
+    # one argsort + pytree gather per stage, merge back positionally.
+    # (sort + regen compose in the plain while_loop below — the carry's
+    # lane0 rides every permutation — but the STAGED compaction unwind
+    # merges narrow results positionally, which a sorting body breaks,
+    # so staged compaction requires sort "none")
+    can_compact_regen = (regen and cfg.wavefront_sort == "none"
+                         and cfg.wavefront_compaction
+                         and n >= cfg.wavefront_compaction_min)
     if can_compact:
         n_small = max(n // 8, 1024)
         k_min = 4
@@ -1114,6 +1190,41 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
         first = jax.tree_util.tree_map(put, first_a, first_n)
         lane0 = lane0_a      # the narrow loop never permutes (sort none)
         accum = accum_a
+    elif can_compact_regen:
+        k_min = 4
+        widths = []
+        wcur = n
+        while wcur // 2 >= max(n // 8, 1024):
+            wcur //= 2
+            widths.append(wcur)
+
+        def stage_cond(w_next):
+            def cond_s(c):
+                p, it = c[0], c[1]
+                live = jnp.sum(p.active.astype(jnp.int32))
+                return jnp.any(p.active) & (it < max_iters) & \
+                    ((it < k_min) | (live > w_next))
+            return cond_s
+
+        tm = jax.tree_util.tree_map
+        saved = []
+        for w_next in widths:
+            carry = jax.lax.while_loop(stage_cond(w_next), body, carry)
+            path_c, it_c, first_c, lane0_c, s_c, accum_c, rays_c = carry
+            perm = jnp.argsort(~path_c.active, stable=True)[:w_next]
+            saved.append((perm, path_c, first_c, accum_c))
+            carry = (tm(lambda a, p=perm: a[p], path_c), it_c,
+                     tm(lambda a, p=perm: a[p], first_c),
+                     lane0_c[perm], s_c[perm], accum_c[perm], rays_c)
+        carry = jax.lax.while_loop(cond, body, carry)
+        path, _, first, _, _, accum, rays = carry
+        # unwind narrow results back out through each saved full state
+        for perm, path_f, first_f, accum_f in reversed(saved):
+            put = lambda full, nar, p=perm: full.at[p].set(nar)
+            path = tm(put, path_f, path)
+            first = tm(put, first_f, first)
+            accum = accum_f.at[perm].set(accum)
+        lane0 = perm0.astype(jnp.int32)  # sort "none": never permuted
     else:
         path, _, first, lane0, _, accum, rays = jax.lax.while_loop(
             cond, body, carry)

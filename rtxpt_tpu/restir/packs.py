@@ -29,6 +29,7 @@ used consistently; all stages share this one implementation.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import mathutils as mu
@@ -146,19 +147,25 @@ def gi_target_cheap(sp, pos, normal, radiance, valid):
 # ---------------------------------------------------------------------------
 
 def pack_reservoir(r: Reservoir) -> jnp.ndarray:
-    """(N,8): light | uv | w_sum | m | target | pad (light indices are
-    exact in f32 below 2^24; LIGHT_ENV/-2 and LIGHT_INVALID/-1 included)."""
+    """(N,8): light | uv | w_sum | m | target | pad. The int32 light
+    index rides losslessly as raw bits in an f32 lane (bitcast, not a
+    value cast — exact for ALL indices, not just < 2^24; LIGHT_ENV/-2
+    and LIGHT_INVALID/-1 included). Every consumer moves these rows by
+    copy (gather / concat / ppermute), never by arithmetic, so the bit
+    pattern survives (restir/di.py trows gathers)."""
     n = r.light.shape[0]
     return jnp.concatenate([
-        r.light.astype(jnp.float32)[..., None], r.uv,
+        jax.lax.bitcast_convert_type(r.light, jnp.float32)[..., None],
+        r.uv,
         r.w_sum[..., None], r.m[..., None], r.target[..., None],
         jnp.zeros((n, 2), jnp.float32)], axis=-1)
 
 
 def unpack_reservoir(rows) -> Reservoir:
-    return Reservoir(light=rows[..., 0].astype(jnp.int32),
-                     uv=rows[..., 1:3], w_sum=rows[..., 3],
-                     m=rows[..., 4], target=rows[..., 5])
+    return Reservoir(
+        light=jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32),
+        uv=rows[..., 1:3], w_sum=rows[..., 3],
+        m=rows[..., 4], target=rows[..., 5])
 
 
 def pack_gi_reservoir(r) -> jnp.ndarray:

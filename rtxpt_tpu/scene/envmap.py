@@ -363,6 +363,141 @@ def bake_procedural_sky(height: int = 128,
     return col.astype(jnp.float32)
 
 
+def bake_atmospheric_sky(height: int = 128,
+                         sun_dir=(0.35, 0.65, 0.2),
+                         sun_irradiance: float = 22.0,
+                         turbidity: float = 1.0,
+                         altitude_m: float = 100.0,
+                         ground_albedo=(0.25, 0.22, 0.20),
+                         sun_angular_radius: float = 0.004675,
+                         samples: int = 32, sun_samples: int = 8,
+                         sky_scale: float = 1.0):
+    """Physically-based sky: Rayleigh + Mie SINGLE-SCATTER atmosphere,
+    numerically integrated at bake time (host numpy cold path) — the
+    precomputed_sky.hlsli parity bake (reference: RTXPT/Lighting/
+    Distant/precomputed_sky.hlsli, driven per frame by EnvMapBaker::
+    Update at Sample.cpp:1495-1521). Nishita-model geometry: spherical
+    atmosphere shells with exponential density profiles; per-pixel view
+    ray marched to the atmosphere top with per-sample sun-transmittance
+    marches (samples x sun_samples optical-depth quadrature).
+
+    Feeds the SAME importance pipeline as every other bake (luminance
+    pyramid + alias tables built by the EnvMap constructor downstream).
+    turbidity scales the Mie load (hazier = brighter aureole, grayer
+    horizon). Returns (H, 2H, 3) float32 equirect radiance."""
+    Re, Ra = 6360e3, 6460e3                 # ground / atmosphere top
+    Hr, Hm = 7994.0, 1200.0                 # scale heights
+    beta_r = np.array([5.802e-6, 13.558e-6, 33.1e-6])   # Rayleigh scat.
+    beta_m_s = 3.996e-6 * float(turbidity)              # Mie scatter
+    beta_m_e = beta_m_s / 0.9                           # Mie extinction
+    g = 0.76                                            # Mie anisotropy
+
+    h, w = height, 2 * height
+    v, u = np.meshgrid((np.arange(h) + 0.5) / h,
+                       (np.arange(w) + 0.5) / w, indexing="ij")
+    theta = v * np.pi
+    phi = (u * 2.0 - 1.0) * np.pi
+    st = np.sin(theta)
+    d = np.stack([st * np.cos(phi), np.cos(theta), st * np.sin(phi)],
+                 -1).reshape(-1, 3)                     # (N,3)
+    sd = np.asarray(sun_dir, np.float64)
+    sd = sd / np.linalg.norm(sd)
+    origin = np.array([0.0, Re + max(altitude_m, 1.0), 0.0])
+
+    def sphere_exit(o, dirs, radius):
+        """Distance to the sphere |x|=radius along dirs (o inside)."""
+        b = dirs @ o
+        c = o @ o - radius * radius
+        disc = np.maximum(b * b - c, 0.0)
+        return -b + np.sqrt(disc)
+
+    def march_transmittance(pts, to_sun):
+        """Optical depth from pts (M,3) toward the sun (shared dir)."""
+        # per-point exit distance toward the sun
+        b = pts @ to_sun
+        c = np.sum(pts * pts, -1) - Ra * Ra
+        t_exit = -b + np.sqrt(np.maximum(b * b - c, 0.0))
+        # earth shadow: the sun ray re-enters the ground sphere
+        disc_g = b * b - (np.sum(pts * pts, -1) - Re * Re)
+        blocked = (disc_g > 0.0) & (-b - np.sqrt(
+            np.maximum(disc_g, 0.0)) > 0.0)
+        ts = (np.arange(sun_samples) + 0.5) / sun_samples
+        seg = t_exit / sun_samples
+        od_r = np.zeros(pts.shape[0])
+        od_m = np.zeros(pts.shape[0])
+        for k in range(sun_samples):
+            p = pts + to_sun * (ts[k] * t_exit)[..., None]
+            alt = np.linalg.norm(p, axis=-1) - Re
+            od_r += np.exp(-np.maximum(alt, 0.0) / Hr) * seg
+            od_m += np.exp(-np.maximum(alt, 0.0) / Hm) * seg
+        tr = np.exp(-(beta_r[None] * od_r[..., None]
+                      + beta_m_e * od_m[..., None]))
+        tr[blocked] = 0.0
+        return tr
+
+    # view-ray march (vectorized over all pixels)
+    t_end = sphere_exit(origin, d, Ra)
+    # rays hitting the ground stop there
+    b = d @ origin
+    disc_g = b * b - (origin @ origin - Re * Re)
+    hits_ground = (disc_g > 0.0) & (-b - np.sqrt(
+        np.maximum(disc_g, 0.0)) > 0.0)
+    t_ground = -b - np.sqrt(np.maximum(disc_g, 0.0))
+    t_end = np.where(hits_ground, np.maximum(t_ground, 0.0), t_end)
+
+    mu_c = d @ sd                                       # cos(sun angle)
+    phase_r = 3.0 / (16.0 * np.pi) * (1.0 + mu_c ** 2)
+    phase_m = 3.0 / (8.0 * np.pi) * ((1.0 - g * g) * (1.0 + mu_c ** 2)
+                                     / ((2.0 + g * g) * (1.0 + g * g
+                                        - 2.0 * g * mu_c) ** 1.5))
+    seg = t_end / samples
+    od_r = np.zeros(d.shape[0])
+    od_m = np.zeros(d.shape[0])
+    sum_r = np.zeros((d.shape[0], 3))
+    sum_m = np.zeros((d.shape[0], 3))
+    ts = (np.arange(samples) + 0.5) / samples
+    for k in range(samples):
+        p = origin[None] + d * (ts[k] * t_end)[..., None]
+        alt = np.maximum(np.linalg.norm(p, axis=-1) - Re, 0.0)
+        rho_r = np.exp(-alt / Hr) * seg
+        rho_m = np.exp(-alt / Hm) * seg
+        od_r_mid = od_r + 0.5 * rho_r
+        od_m_mid = od_m + 0.5 * rho_m
+        t_view = np.exp(-(beta_r[None] * od_r_mid[..., None]
+                          + beta_m_e * od_m_mid[..., None]))
+        t_sun = march_transmittance(p, sd)
+        sum_r += rho_r[..., None] * t_view * t_sun
+        sum_m += rho_m[..., None] * t_view * t_sun
+        od_r += rho_r
+        od_m += rho_m
+    col = sun_irradiance * (sum_r * beta_r[None] * phase_r[..., None]
+                            + sum_m * beta_m_s * phase_m[..., None])
+
+    # ground: sun-lit Lambertian with the atmosphere's transmittance
+    # applied both sun->ground and ground->eye
+    t_total = np.exp(-(beta_r[None] * od_r[..., None]
+                       + beta_m_e * od_m[..., None]))
+    gp = origin[None] + d * t_end[..., None]
+    g_n = gp / np.maximum(np.linalg.norm(gp, axis=-1, keepdims=True),
+                          1e-9)
+    cos_g = np.maximum(g_n @ sd, 0.0)
+    t_sun_g = march_transmittance(gp, sd)
+    alb = np.asarray(ground_albedo, np.float64)
+    ground_col = (alb[None] / np.pi) * sun_irradiance * \
+        cos_g[..., None] * t_sun_g * t_total
+    col = np.where(hits_ground[..., None], col + ground_col, col)
+
+    # sun disc, attenuated by the view-path transmittance (radiance =
+    # irradiance / disc solid angle)
+    omega_sun = 2.0 * np.pi * (1.0 - np.cos(sun_angular_radius))
+    in_sun = (mu_c > np.cos(sun_angular_radius)) & ~hits_ground
+    col = np.where(in_sun[..., None],
+                   col + t_total * (sun_irradiance / omega_sun), col)
+
+    return jnp.asarray((col * sky_scale).reshape(h, w, 3)
+                       .astype(np.float32))
+
+
 def bake_with_directional(base_radiance, directional_lights,
                           angular_radius: float = 0.02):
     """EnvMapBaker::Update's analytic-directional-light splat

@@ -112,14 +112,18 @@ def test_tile_worklists_conservative_superset():
         exact = set(o_ex[t, :c_ex[t]].tolist())
         conserv = set(o_cv[t, :c_cv[t]].tolist())
         assert exact <= conserv, f"tile {t} dropped {exact - conserv}"
-    # identical hits through the kernel either way
+    # identical hits through the kernel either way. The prepass choice
+    # is baked into jitted _trace_dense, so flip the module global AND
+    # clear the jit cache (else the second call hits the cache and
+    # compares the exact path to itself — ADVICE r4 medium).
     got = mt_dense.trace_closest(dmt, o, d, active=act, interpret=True)
-    import os
-    os.environ["RTXPT_MT_TILE_PREPASS"] = "1"
+    mt_dense.TILE_PREPASS = True
+    mt_dense._trace_dense._clear_cache()
     try:
         ref = mt_dense.trace_closest(dmt, o, d, active=act,
                                      interpret=True)
     finally:
-        del os.environ["RTXPT_MT_TILE_PREPASS"]
+        mt_dense.TILE_PREPASS = False
+        mt_dense._trace_dense._clear_cache()
     assert np.array_equal(np.asarray(ref.prim), np.asarray(got.prim))
     assert np.allclose(np.asarray(ref.t), np.asarray(got.t))

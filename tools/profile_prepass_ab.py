@@ -38,13 +38,13 @@ def main():
               f"({W*H/best/1e6:.3f} Mpaths/s)  mean={img0.mean():.6f}",
               flush=True)
 
-    os.environ["RTXPT_MT_TILE_PREPASS"] = "0"
+    mt_dense.TILE_PREPASS = False
     run("exact")  # default
-    os.environ["RTXPT_MT_TILE_PREPASS"] = "1"
+    mt_dense.TILE_PREPASS = True
     run("tile")
-    os.environ["RTXPT_MT_TILE_PREPASS"] = "0"
+    mt_dense.TILE_PREPASS = False
     run("exact2")
-    os.environ["RTXPT_MT_TILE_PREPASS"] = "1"
+    mt_dense.TILE_PREPASS = True
     run("tile2")
 
 
