@@ -44,8 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import Hit
 
-TILE = 1024
 import os as _os
+# rays per kernel dispatch block. Per-ray MXU cost is visits_per_tile x
+# const (block-ops per visit scale with TILE, rays too), and
+# visits_per_tile is the cluster UNION of the tile's rays -> shrinking
+# TILE tightens worklists monotonically until fixed per-tile overheads
+# win. Read once at import (baked into jit caches).
+TILE = int(_os.environ.get("RTXPT_MT_TILE", "1024"))
+assert TILE % 256 == 0, "lane blocks must stay MXU-aligned"
 # triangles per cluster (one matmul + epilogue per visit); 64 measured
 # best on v5e (32 halves the epilogue block but pays ~2x visits)
 CLUSTER = int(_os.environ.get("RTXPT_MT_CLUSTER", "64"))

@@ -157,7 +157,8 @@ def _sample_distant(assets: RenderAssets, cfg: PTConfig, g):
                              distance=jnp.full(pdf.shape,
                                                mu.K_MAX_RAY_TRAVEL),
                              li=li, pdf=pdf,
-                             valid=jnp.any(li > 0.0, axis=-1))
+                             valid=jnp.any(li > 0.0, axis=-1),
+                             delta=jnp.zeros(pdf.shape, bool))
 
 
 def _distant_pdf(assets: RenderAssets, cfg: PTConfig, d):
@@ -781,8 +782,14 @@ def render_paths(assets: RenderAssets, cam: CameraData, path0: PathState,
                     wo_nee = sd.to_local(ls.direction)
                     fd, fs, scatter_pdf_for_dir = B.bsdf_eval_split_pdf(
                         bsdf, wi_local, wo_nee)
-                    mis = mu.eval_mis(1.0, light_mis_pdf / sample_weight, 1.0,
-                                      scatter_pdf_for_dir)
+                    # delta lights (point/spot/directional) cannot be hit
+                    # by scatter rays: MIS weight 1, else the balance
+                    # heuristic systematically loses their energy (caught
+                    # by tests/test_analytic_oracles.py)
+                    mis = jnp.where(
+                        ls.delta, 1.0,
+                        mu.eval_mis(1.0, light_mis_pdf / sample_weight, 1.0,
+                                    scatter_pdf_for_dir))
                     li = ls.li * (mis * sample_weight)[..., None]
                     pdf_for_firefly = ls.pdf / sample_weight
                     lum = mu.luminance((fd + fs) * li)

@@ -802,7 +802,7 @@ def _local_light_sample_c(L, ref, pos, j: int):
     # kinds are mutually exclusive -> where-cascade as a disjunction
     valid = (is_tri & tri_visible) | (is_sph & sph_visible) | is_pt \
         | is_dir
-    return direction, distance, li, pdf, valid
+    return direction, distance, li, pdf, valid, is_pt | is_dir
 
 
 # ---------------------------------------------------------------------------
@@ -931,11 +931,16 @@ def _make_kernel(Lin: _Layout, Lout: _Layout, nee_distant: int,
             & (gi("nee_skip") == 0.0)           # will_scatter_nee
 
         def nee_one(ls_dir, ls_dist, ls_li, light_mis_pdf, ls_pdf,
-                    ls_valid, sample_weight, idx):
+                    ls_valid, sample_weight, idx, ls_delta=None):
             wo_nee = _to_local(ls_dir, t, bt, n)
             fd, fs, scatter_pdf = _bsdf_eval_split_pdf_c(bb, wi, wo_nee)
             mis = _eval_mis(1.0, light_mis_pdf / sample_weight, 1.0,
                             scatter_pdf)
+            if ls_delta is not None:
+                # delta lights (point/spot/directional) are unreachable
+                # by scatter rays -> MIS weight 1 (energy conservation;
+                # tests/test_analytic_oracles.py)
+                mis = jnp.where(ls_delta, 1.0, mis)
             li = _scale3(ls_li, mis * sample_weight)
             pdf_ff = ls_pdf / sample_weight
             lum = _luminance3(_mul3(_add3(fd, fs), li))
@@ -977,11 +982,11 @@ def _make_kernel(Lin: _Layout, Lout: _Layout, nee_distant: int,
             idx += 1
         for j in range(nee_local):
             sample_weight = 1.0 / float(nee_local)
-            d_l, dist_l, li_l, pdf_l, ok_l = _local_light_sample_c(
-                Lin, in_ref, gi("pos"), j)
+            d_l, dist_l, li_l, pdf_l, ok_l, delta_l = \
+                _local_light_sample_c(Lin, in_ref, gi("pos"), j)
             lk = jnp.full_like(pdf_l, float(cfg_static["local_pdf_k"]))
             nee_one(d_l, dist_l, li_l, lk, pdf_l, ok_l, sample_weight,
-                    idx)
+                    idx, ls_delta=delta_l)
             idx += 1
 
         # scatter-side MIS for the next segment (NEE.hlsli:248-280)

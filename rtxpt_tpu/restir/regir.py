@@ -218,9 +218,10 @@ def sample_regir(grid: ReGIRGrid, lt: LI.LightTable, scene_positions,
     valid = (li_idx >= 0) & (w > 0.0) & l_ok
     # pdf for firefly heuristics: ~1/W converted to solid-angle-ish terms
     kind = lt.kind[kidx]
-    is_delta = (kind == LI.LIGHT_POINT) | (kind == LI.LIGHT_DIRECTIONAL)
+    is_delta = ((kind == LI.LIGHT_POINT) | (kind == LI.LIGHT_SPOT)
+                | (kind == LI.LIGHT_DIRECTIONAL))
     pdf = jnp.where(w > 0,
                     jnp.where(is_delta, 1.0, dist * dist)
                     / jnp.maximum(w, 1e-20), 0.0)
     return LI.LightSample(direction=direction, distance=dist, li=li,
-                          pdf=pdf, valid=valid)
+                          pdf=pdf, valid=valid, delta=is_delta)

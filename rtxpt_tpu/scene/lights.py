@@ -266,6 +266,10 @@ class LightSample(NamedTuple):
     li: jnp.ndarray          # (N,3) radiance / pdf
     pdf: jnp.ndarray         # (N,) solid-angle pdf at the shading point
     valid: jnp.ndarray       # (N,)
+    delta: jnp.ndarray       # (N,) bool: point/spot/directional — a BSDF
+    #                          ray can never hit these, so NEE MIS weight
+    #                          must be 1 (down-weighting loses energy that
+    #                          the scatter-ray strategy can never recover)
 
 
 def _sphere_point(lt: LightTable, li_idx, uv):
@@ -448,4 +452,4 @@ def sample_local_lights(lt: LightTable, scene_positions, scene_indices,
                       jnp.where(is_sph, sph_visible, is_pt | is_dir)) \
         & (lt.count > 0)
     return LightSample(direction=direction, distance=distance, li=li,
-                       pdf=pdf, valid=valid)
+                       pdf=pdf, valid=valid, delta=is_pt | is_dir)
