@@ -417,11 +417,97 @@ def _tile_worklists_interval(aabb, origins, dirs, t_max, active, nc: int):
 # profilers that A/B the prepass set this module global and call
 # _trace_dense._clear_cache() (tools/profile_prepass_ab.py pattern).
 TILE_PREPASS = _os.environ.get("RTXPT_MT_TILE_PREPASS", "0") == "1"
+# Pallas single-pass prepass (round 5): the XLA exact prepass lax.maps
+# over NC clusters — NC separate HBM passes over the whole wavefront
+# (~4.4 ms at 480k lanes, liveness-independent). The fused kernel reads
+# each ray ONCE and keeps all cluster AABBs in SMEM. Same formulas/key;
+# bit-identical images. Measured e2e (profile_e2e_lab, 8-round
+# interleaved medians on v5e): 213.1 vs 212.1 ms/sample — a wash within
+# the tunnel noise floor, so the simpler XLA prepass stays the default.
+PALLAS_PREPASS = _os.environ.get("RTXPT_MT_PALLAS_PREPASS", "0") == "1"
 
 
 def _worklists_fn():
     return _tile_worklists_interval if TILE_PREPASS \
         else _tile_worklists_exact
+
+
+def _make_prepass_kernel(nc: int, nc_pad: int):
+    def kernel(aabb_ref, o_ref, d_ref, tmax_ref, act_ref, key_out):
+        i = pl.program_id(0)
+        ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+        dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+
+        def inv(c):
+            return 1.0 / jnp.where(jnp.abs(c) < 1e-12,
+                                   jnp.where(c < 0, -1e-12, 1e-12), c)
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        tm = tmax_ref[0]
+        act = act_ref[0] != 0
+        inf = jnp.float32(jnp.inf)
+        keys = []
+        for c in range(nc_pad):
+            if c >= nc:
+                keys.append(inf)
+                continue
+            t0x = (aabb_ref[c, 0] - ox) * ix
+            t1x = (aabb_ref[c, 3] - ox) * ix
+            t0y = (aabb_ref[c, 1] - oy) * iy
+            t1y = (aabb_ref[c, 4] - oy) * iy
+            t0z = (aabb_ref[c, 2] - oz) * iz
+            t1z = (aabb_ref[c, 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), tm))
+            hit = (jnp.maximum(tn, 0.0) <= tf) & act
+            keys.append(jnp.min(jnp.where(hit, tn, inf)))
+        # the whole (tiles, nc_pad) output is block-resident (tiny);
+        # each program writes its own row — a (1, nc_pad) block would
+        # violate Mosaic's (8,128) block-divisibility rule
+        key_out[pl.ds(i, 1)] = jnp.stack(keys)[None]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "interpret"))
+def _tile_worklists_pallas(aabb, origins, dirs, t_max, active, nc: int,
+                           interpret: bool = False):
+    """Fused prepass: one Pallas pass emits each tile's per-cluster
+    near-entry key row; counts/argsort (tiny (T, NC) tensors) stay in
+    XLA. Key semantics identical to _tile_worklists_exact."""
+    n = origins.shape[0]
+    tiles = n // TILE
+    nc_pad = max(_round_up(nc, 128), 128)
+    kernel = _make_prepass_kernel(nc, nc_pad)
+    key = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((tiles, nc_pad), jnp.float32),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((nc, 6), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tiles, nc_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(aabb, origins.T, dirs.T, t_max[None, :],
+      active.astype(jnp.int32)[None, :])
+    key = key[:, :nc]
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    counts = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    return counts, order
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +564,63 @@ def _pair_test(out, has_omm, t_min, best_t, act, need_t: bool):
     return ok, t
 
 
+def _pair_test_sign(out, has_omm, best, act):
+    """Sign-bit epilogue variant (RTXPT_MT_EPILOGUE=sign): MT validity
+    u'>=0, v'>=0, u'+v'<=a, t'>0 (all sign-folded by a) is equivalent to
+    "u', v', w'=a-u'-v', t' all share a's sign bit" — ONE int32 xor/or
+    chain replaces the four sign-folding multiplies + select of the
+    classic test. Edge semantics differ only on measure-zero boundaries
+    (+0.0 numerators against a<0 reject here, accepted there); the
+    winner re-solve outside the kernel is exact either way."""
+    C = CLUSTER
+    A = out[0:C]
+    U = out[C:2 * C]
+    V = out[2 * C:3 * C]
+    T = out[3 * C:4 * C]
+    Wc = A - U - V
+    bc = lambda z: jax.lax.bitcast_convert_type(z, jnp.int32)
+    Ai = bc(A)
+    sign_bad = (bc(U) ^ Ai) | (bc(V) ^ Ai) | (bc(Wc) ^ Ai) | (bc(T) ^ Ai)
+    absA = jnp.abs(A)
+    r = 1.0 / jnp.maximum(absA, 1e-30)
+    t = jnp.abs(T) * r
+    ok = ((sign_bad >= 0) & (absA > 1e-12) & (t > 0.0)
+          & (t < best[None, :]) & act[None, :])
+    if has_omm:
+        rs = jnp.where(A < 0.0, -r, r)
+        u = U * rs
+        v = V * rs
+        mk = out[4 * C:5 * C].astype(jnp.int32)
+        ci = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+        cj = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
+        ok = ok & (((mk >> (ci * 4 + cj)) & 1) != 0)
+    return ok, t
+
+
+# closest-path epilogue + gate selection, read at import like TILE
+EPILOGUE = _os.environ.get("RTXPT_MT_EPILOGUE", "classic")
+# NOGATE=1 drops the per-visit cluster slab gate + pl.when + the
+# vector->scalar any() sync from the CLOSEST kernel: every worklist
+# entry pays its matmul+epilogue unconditionally (the prepass already
+# culled non-overlapping clusters; best-t still rejects pairs).
+NOGATE = _os.environ.get("RTXPT_MT_NOGATE", "0") == "1"
+# anyhit early-exit while_loop (vs fixed fori over the worklist);
+# default off — the interleaved e2e lab measured 224.9 vs 212.1
+# ms/sample: the per-visit vector->scalar cond costs more than the
+# skipped tail saves
+ANYHIT_EARLY = _os.environ.get("RTXPT_MT_ANYHIT_EARLY", "0") == "1"
+# PIPELINE=1: software-pipeline the closest loop — visit j's matmul is
+# written to a VMEM scratch and its epilogue runs at j+1, so the MXU
+# stream of visit j+1 and the VPU epilogue of visit j are adjacent in
+# program order with no data dependency (the gate/pair best is one visit
+# stale; the commit re-compares against the live best so results are
+# unchanged). Default off — e2e lab measured 245.7 vs 212.1 ms/sample:
+# the VMEM scratch round-trip + stale gate extra visits cost more than
+# the MXU/VPU overlap recovers (Mosaic already overlaps them in the
+# serial loop).
+PIPELINE = _os.environ.get("RTXPT_MT_PIPELINE", "0") == "1"
+
+
 def _matmul_precision():
     import os
     return os.environ.get("RTXPT_MT_PRECISION", "high")
@@ -511,14 +654,36 @@ def _cluster_matmul(wc, x, x48, precision: str):
                                preferred_element_type=jnp.float32)
 
 
-def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
+# perf PROBE (A/B tooling only, tools/profile_mtvariants.py): "noepi"
+# replaces the per-visit epilogue with a trivial commit (measures the
+# matmul+gate+loop floor), "nomm" replaces the matmul output with a
+# broadcast (measures the epilogue+gate+loop floor). Read at import;
+# production runs with it unset. Results are intentionally WRONG.
+PROBE = _os.environ.get("RTXPT_MT_PROBE", "")
+
+
+def _variant_tuple():
+    """Kernel structure knobs as ONE static jit key: (epilogue, pipeline,
+    nogate, anyhit_early, probe, pallas_prepass). Threading this through
+    _trace_dense as a static argument lets one process hold compiled
+    programs for SEVERAL variants side by side — required for reliable
+    A/B, because cross-process timings on the axon tunnel drift by up to
+    2x (tools/profile_mtlab.py interleaves variants within one
+    process)."""
+    return (EPILOGUE, PIPELINE, NOGATE, ANYHIT_EARLY, PROBE,
+            PALLAS_PREPASS)
+
+
+def _make_kernel(nc: int, has_omm: bool, any_hit: bool, variant=None):
+    EPILOGUE, PIPELINE, NOGATE, ANYHIT_EARLY, PROBE = \
+        (variant if variant is not None else _variant_tuple())[:5]
     RC = (5 if has_omm else 4) * CLUSTER
     precision = _matmul_precision()
     INF_BITS = 0x7F800000  # python int: jnp scalars would be captured
     #                        as pallas_call constants
 
     def kernel(counts_ref, clist_ref, aabb_ref, w_ref, o_ref, d_ref,
-               tmax_ref, act_ref, t_out, prim_out):
+               tmax_ref, act_ref, t_out, prim_out, *scratch):
         i = pl.program_id(0)
         cnt = counts_ref[i]
         x = _features(o_ref, d_ref)
@@ -573,8 +738,16 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
 
                 @pl.when(jnp.any(live))
                 def _():
-                    wc = w_ref[pl.ds(c * RC, RC), :]
-                    out = _cluster_matmul(wc, x, x48, precision)
+                    if PROBE == "nomm":
+                        out = jnp.broadcast_to(x[0] + jnp.float32(c),
+                                               (RC, TILE))
+                    else:
+                        wc = w_ref[pl.ds(c * RC, RC), :]
+                        out = _cluster_matmul(wc, x, x48, precision)
+                    if PROBE == "noepi":
+                        prim_out[0] = jnp.where(
+                            out[0] < -1e30, 0, prim_out[0])
+                        return
                     ok, _ = _pair_test(out, has_omm, t_min,
                                        tmax_ref[0], live, need_t=False)
                     # f32 min-reduction instead of jnp.any over i1
@@ -585,52 +758,138 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool):
 
                 return 0
 
-            jax.lax.fori_loop(0, cnt, body, 0)
-        else:
-            def body(j, _):
-                c = clist_ref[i, j]
-                best0 = t_out[0]
-                live = cluster_gate(c, act, best0)
+            if ANYHIT_EARLY:
+                # early exit once every live lane has an occluder:
+                # shadow rays in contact-shadow regions find one in the
+                # first (nearest) clusters, and the remaining worklist
+                # is pure gate/any overhead. One vector->scalar sync
+                # per visit buys skipping the rest of the list.
+                def w_cond(j):
+                    return (j < cnt) & jnp.any(act & (prim_out[0] < 0))
 
-                @pl.when(jnp.any(live))
-                def _():
-                    wc = w_ref[pl.ds(c * RC, RC), :]
-                    out = _cluster_matmul(wc, x, x48, precision)
-                    best = t_out[0]
+                def w_body(j):
+                    body(j, 0)
+                    return j + 1
+
+                jax.lax.while_loop(w_cond, w_body, jnp.int32(0))
+            else:
+                jax.lax.fori_loop(0, cnt, body, 0)
+        else:
+            def mm(c):
+                if PROBE == "nomm":
+                    return jnp.broadcast_to(x[0] + jnp.float32(c),
+                                            (RC, TILE))
+                wc = w_ref[pl.ds(c * RC, RC), :]
+                return _cluster_matmul(wc, x, x48, precision)
+
+            def epilogue(out, c):
+                if PROBE == "noepi":
+                    t_out[0] = jnp.minimum(t_out[0], out[0])
+                    return
+                best = t_out[0]
+                if EPILOGUE == "sign":
+                    ok, t = _pair_test_sign(out, has_omm, best, act)
+                else:
                     ok, t = _pair_test(out, has_omm, t_min, best, act,
                                        need_t=True)
-                    # winner row via ONE min-reduction: positive-f32
-                    # bitcast ordering is monotone, so (t_bits & ~63)
-                    # | row packs the distance and the 6-bit row index
-                    # into one sortable int (ties -> lowest row); the
-                    # ~2^-18 relative t quantization only affects
-                    # winner SELECTION — exact t/u/v are re-solved
-                    # outside the kernel from the winning triangle
-                    tt = jnp.where(ok, t, jnp.inf)
-                    tbits = jax.lax.bitcast_convert_type(tt, jnp.int32)
-                    packed = (tbits & ~63) | rows
-                    pmin = jnp.min(packed, axis=0)           # (TILE,)
-                    imp = pmin < INF_BITS
-                    t_new = jax.lax.bitcast_convert_type(
-                        pmin & ~63, jnp.float32)
-                    t_out[0] = jnp.where(imp, t_new, best)
-                    prim_out[0] = jnp.where(imp,
-                                            c * CLUSTER + (pmin & 63),
-                                            prim_out[0])
+                # winner row via ONE min-reduction: positive-f32
+                # bitcast ordering is monotone, so (t_bits & ~63)
+                # | row packs the distance and the 6-bit row index
+                # into one sortable int (ties -> lowest row); the
+                # ~2^-18 relative t quantization only affects
+                # winner SELECTION — exact t/u/v are re-solved
+                # outside the kernel from the winning triangle
+                tt = jnp.where(ok, t, jnp.inf)
+                tbits = jax.lax.bitcast_convert_type(tt, jnp.int32)
+                packed = (tbits & ~63) | rows
+                pmin = jnp.min(packed, axis=0)           # (TILE,)
+                imp = pmin < INF_BITS
+                t_new = jax.lax.bitcast_convert_type(
+                    pmin & ~63, jnp.float32)
+                t_out[0] = jnp.where(imp, t_new, best)
+                prim_out[0] = jnp.where(imp,
+                                        c * CLUSTER + (pmin & 63),
+                                        prim_out[0])
 
-                return 0
+            def visit(c):
+                epilogue(mm(c), c)
 
-            jax.lax.fori_loop(0, cnt, body, 0)
+            if PIPELINE:
+                # deferred-epilogue software pipeline: visit j issues its
+                # matmul into the VMEM scratch; its epilogue runs at
+                # j+1 AFTER j+1's matmul is issued, so the MXU stream
+                # and the VPU epilogue are adjacent independent work.
+                # The pair test sees best-through-j-2 — exactly what the
+                # serial loop's pair test for j-1 saw — so results are
+                # IDENTICAL, only the gate is one commit stale
+                # (conservative: may run a matmul the serial loop
+                # skipped).
+                smm, pend = scratch
+
+                def body(j, _):
+                    par = j & 1
+                    c = clist_ref[i, j]
+                    live = cluster_gate(c, act, t_out[0])
+                    al = jnp.any(live)
+
+                    @pl.when(al)
+                    def _():
+                        smm[pl.ds(par, 1)] = mm(c)[None]
+
+                    cp = pend[1 - par]
+
+                    @pl.when(cp >= 0)
+                    def _():
+                        epilogue(smm[pl.ds(1 - par, 1)][0], cp)
+
+                    pend[par] = jnp.where(al, c, -1)
+                    return 0
+
+                pend[0] = jnp.int32(-1)
+                pend[1] = jnp.int32(-1)
+                jax.lax.fori_loop(0, cnt, body, 0)
+                lastp = (cnt - 1) & 1
+
+                @pl.when((cnt > 0) & (pend[0] >= 0) & (lastp == 0))
+                def _():
+                    epilogue(smm[0], pend[0])
+
+                @pl.when((cnt > 0) & (pend[1] >= 0) & (lastp == 1))
+                def _():
+                    epilogue(smm[1], pend[1])
+
+            elif NOGATE:
+                def body(j, _):
+                    visit(clist_ref[i, j])
+                    return 0
+
+                jax.lax.fori_loop(0, cnt, body, 0)
+            else:
+                def body(j, _):
+                    c = clist_ref[i, j]
+                    live = cluster_gate(c, act, t_out[0])
+
+                    @pl.when(jnp.any(live))
+                    def _():
+                        visit(c)
+
+                    return 0
+
+                jax.lax.fori_loop(0, cnt, body, 0)
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nc", "has_omm", "any_hit",
-                                    "interpret"))
+                                    "interpret", "variant"))
 def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
                  nc: int, has_omm: bool, any_hit: bool,
-                 interpret: bool = False):
+                 interpret: bool = False, variant=None):
+    if variant is None:
+        variant = _variant_tuple()
+    pipeline = variant[1]
+    use_pallas_prepass = variant[5] if len(variant) > 5 else PALLAS_PREPASS
     n = origins.shape[0]
     n_pad = _round_up(max(n, TILE), TILE)
     pad = n_pad - n
@@ -638,13 +897,20 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
     d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
     tm = jnp.pad(t_max, (0, pad))
     ac = jnp.pad(active, (0, pad))
-    counts, order = _worklists_fn()(aabb, o, d, tm, ac, nc=nc)
+    if TILE_PREPASS:
+        counts, order = _tile_worklists_interval(aabb, o, d, tm, ac,
+                                                 nc=nc)
+    elif use_pallas_prepass:
+        counts, order = _tile_worklists_pallas(aabb, o, d, tm, ac,
+                                               nc=nc, interpret=interpret)
+    else:
+        counts, order = _tile_worklists_exact(aabb, o, d, tm, ac, nc=nc)
 
     RC = (5 if has_omm else 4) * CLUSTER
     # `weights` is precision-matched by the caller: (NC*RC,48) bf16
     # stacked-K planes for high/default, (NC*RC,16) f32 for highest
     wcols = weights.shape[1]
-    kernel = _make_kernel(nc, has_omm, any_hit)
+    kernel = _make_kernel(nc, has_omm, any_hit, variant=variant)
     # cluster AABBs as SMEM scalars, recentered like the ray origins so
     # the in-kernel slab gate works in the same frame
     aabb_c = aabb - jnp.concatenate([center, center])[None, :]
@@ -669,6 +935,10 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, TILE), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)),
+        scratch_shapes=(
+            [pltpu.VMEM((2, RC, TILE), jnp.float32),
+             pltpu.SMEM((2,), jnp.int32)]
+            if (pipeline and not any_hit) else []),
     )
     t, prim = pl.pallas_call(
         kernel,
@@ -684,7 +954,8 @@ def _trace_dense(weights, aabb, center, origins, dirs, t_max, active,
 
 
 def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
-                  active=None, interpret: bool = False) -> Hit:
+                  active=None, interpret: bool = False,
+                  variant=None) -> Hit:
     n = origins.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
@@ -694,7 +965,8 @@ def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     t_q, slot, = _trace_dense(w, dmt.aabb, dmt.center,
                               origins, dirs, t_max, active,
                               nc=dmt.num_clusters, has_omm=dmt.has_omm,
-                              any_hit=False, interpret=interpret)
+                              any_hit=False, interpret=interpret,
+                              variant=variant or _variant_tuple())
     found = slot >= 0
     # exact winner re-solve: the kernel picks the triangle; t/u/v come
     # from one full-precision MT solve per lane against the recentered
@@ -729,7 +1001,7 @@ def trace_closest(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
 
 
 def trace_anyhit(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
-                 active=None, interpret: bool = False):
+                 active=None, interpret: bool = False, variant=None):
     n = origins.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
@@ -739,5 +1011,6 @@ def trace_anyhit(dmt: DenseMT, origins, dirs, t_min=0.0, t_max=1e30,
     _, slot = _trace_dense(w, dmt.aabb, dmt.center,
                            origins, dirs, t_max, active,
                            nc=dmt.num_clusters, has_omm=dmt.has_omm,
-                           any_hit=True, interpret=interpret)
+                           any_hit=True, interpret=interpret,
+                           variant=variant or _variant_tuple())
     return slot >= 0
