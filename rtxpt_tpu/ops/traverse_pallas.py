@@ -103,8 +103,13 @@ def _slab(ox, oy, oz, ix, iy, iz, bnds, t_min, t_max):
 def _kernel_tile(rows: int) -> int:
     """Lane-tile size: the onehot intermediate is (rows, TILE) bf16 in
     VMEM; big subtree tables (two-level path) shrink the tile to stay
-    under the 16 MB scoped-vmem budget."""
-    return 1024 if rows <= 1024 else 512
+    under the 16 MB scoped-vmem budget. At rows=4096 the double-buffered
+    (72+29*ls, rows) bf16 table blocks plus the onehot already measure
+    16.05 MB with TILE=512 (scoped-vmem OOM, round-5 city soup A/B), so
+    the 2048< rows tier drops to 256 lanes."""
+    if rows <= 1024:
+        return 1024
+    return 512 if rows <= 2048 else 256
 
 
 def _kernel_cond_every(rows: int) -> int:
