@@ -64,6 +64,11 @@ def build_arg_parser():
     p.add_argument("--debug-print-pixel", default=None, metavar="X,Y",
                    help="print the DebugPrint slot table for pixel X,Y "
                    "(ShaderDebug.hlsli Print + feedback readback)")
+    p.add_argument("--debug-delta-tree", default=None, metavar="X,Y",
+                   help="explore pixel (x,y)'s delta tree and print the "
+                   "indented branch/plane assignment report (the "
+                   "reference's DeltaTreeVizExplorePixel, "
+                   "Sample.hlsl:332-357)")
     p.add_argument("--debug-view", default=None,
                    help="render a debug channel instead of the beauty "
                    "pass (ShaderDebug DebugViewType equivalent); see "
@@ -281,6 +286,14 @@ def main(argv=None) -> int:
         cam_dp = cam._replace(viewport=jnp.asarray(
             [args.width, args.height], jnp.float32))
         print(DP.format_slots(DP.print_path(r.assets, cam_dp, dx, dy)))
+
+    if args.debug_delta_tree:
+        from ..utils import deltatree as DT
+        import jax.numpy as jnp
+        dx, dy = (int(v) for v in args.debug_delta_tree.split(","))
+        cam_dt = cam._replace(viewport=jnp.asarray(
+            [args.width, args.height], jnp.float32))
+        print(DT.format_tree(DT.explore_pixel(r.assets, cam_dt, dx, dy)))
 
     if args.debug_lines_pixel:
         from ..utils import debuglines as DL

@@ -91,14 +91,23 @@ class Renderer:
         import os as _os
         # the per-mesh-rounds TLAS traversal tests instances in chunks of
         # ops/instanced.INST_CHUNK, so the entry-distance matrix stays
-        # N*256 regardless of scene instance count — thousands-of-
-        # instances city scenes keep BLAS dedup (VERDICT r3 weak #8
-        # lifted the old 256-instance cap). RTXPT_INSTANCED=1 forces it.
+        # N*256 regardless of scene instance count. Round-5 A/B
+        # (tools/profile_city_ab.py, city 640x360 reference 1spp):
+        # flattened-soup bvh2l 1.89 s/sample vs instanced mesh-rounds
+        # 17.09 s/sample (9x; identical image mean) — the per-
+        # (mesh,chunk,round) dispatch ladder is the wall, so STATIC
+        # scenes always take the soup path and the instanced TLAS is
+        # kept for rigid-animated scenes, where it is the only big-scene
+        # structure with a refit path (ops/instanced.
+        # set_instance_transform = the reference's per-frame TLAS build
+        # over static BLASes, RTXPT/Sample.cpp:1353-1421).
+        # RTXPT_INSTANCED=1/0 forces either way.
+        has_rigid_anim = bool(host_scene.get("animations"))
         use_instanced = (
             inst is not None and not host_scene.get("skin_bindings")
             and _os.environ.get("RTXPT_INSTANCED", "auto") != "0"
             and (_os.environ.get("RTXPT_INSTANCED") == "1"
-                 or (n_tris > 45_000
+                 or (n_tris > 45_000 and has_rigid_anim
                      and len(inst["mesh_of_instance"]) <= 8192
                      and max(m["indices"].shape[0]
                              for m in inst["meshes"]) <= 25_000)))
