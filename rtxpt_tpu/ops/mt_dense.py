@@ -55,7 +55,11 @@ assert TILE % 256 == 0, "lane blocks must stay MXU-aligned"
 # triangles per cluster (one matmul + epilogue per visit); 64 measured
 # best on v5e (32 halves the epilogue block but pays ~2x visits)
 CLUSTER = int(_os.environ.get("RTXPT_MT_CLUSTER", "64"))
-assert CLUSTER in (32, 64), "packed winner rows use 6 bits"
+assert CLUSTER in (32, 64, 128), "packed winner rows use <=7 bits"
+# winner-row packing drops log2(CLUSTER) low mantissa bits from the
+# packed t (2^-18 rel at 64, 2^-17 at 128); selection-only — exact
+# t/u/v are re-solved outside the kernel from the winning triangle
+ROW_MASK = CLUSTER - 1
 MAX_TRIS = 8192         # beyond this the BVH paths win (VMEM + pair count)
 
 
@@ -793,7 +797,7 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool, variant=None):
                     ok, t = _pair_test(out, has_omm, t_min, best, act,
                                        need_t=True)
                 # winner row via ONE min-reduction: positive-f32
-                # bitcast ordering is monotone, so (t_bits & ~63)
+                # bitcast ordering is monotone, so (t_bits & ~ROW_MASK)
                 # | row packs the distance and the 6-bit row index
                 # into one sortable int (ties -> lowest row); the
                 # ~2^-18 relative t quantization only affects
@@ -801,14 +805,14 @@ def _make_kernel(nc: int, has_omm: bool, any_hit: bool, variant=None):
                 # outside the kernel from the winning triangle
                 tt = jnp.where(ok, t, jnp.inf)
                 tbits = jax.lax.bitcast_convert_type(tt, jnp.int32)
-                packed = (tbits & ~63) | rows
+                packed = (tbits & ~ROW_MASK) | rows
                 pmin = jnp.min(packed, axis=0)           # (TILE,)
                 imp = pmin < INF_BITS
                 t_new = jax.lax.bitcast_convert_type(
-                    pmin & ~63, jnp.float32)
+                    pmin & ~ROW_MASK, jnp.float32)
                 t_out[0] = jnp.where(imp, t_new, best)
                 prim_out[0] = jnp.where(imp,
-                                        c * CLUSTER + (pmin & 63),
+                                        c * CLUSTER + (pmin & ROW_MASK),
                                         prim_out[0])
 
             def visit(c):
