@@ -44,14 +44,20 @@ def test_reference_render_matches_golden_fast():
     m = _compare(_render(64, 48, 2),
                  "golden_programmer_art_64x48_2spp.png")
     # same-platform deterministic render; only quantization + minor XLA
-    # version drift expected
-    assert m["psnr"] > 30.0, m
-    assert m["smape"] < 0.03, m
+    # version drift expected. Measured r5: 59.1 dB / 0.0022 SMAPE —
+    # the floor is ratcheted to measured-minus-margin (VERDICT r4
+    # weak #4), so anything beyond uint8 quantization + small compiler
+    # drift fails.
+    assert m["psnr"] > 45.0, m
+    assert m["smape"] < 0.01, m
 
 
 @pytest.mark.slow
 def test_reference_render_matches_golden():
     m = _compare(_render(160, 120, 8),
                  "golden_programmer_art_160x120_8spp.png")
-    assert m["psnr"] > 17.0, m
-    assert m["smape"] < 0.10, m
+    # measured r5 on the CPU mesh: 59.0 dB / 0.0016 SMAPE; floor keeps
+    # headroom for XLA version drift but is no longer "any image with
+    # roughly the right exposure passes"
+    assert m["psnr"] > 40.0, m
+    assert m["smape"] < 0.02, m
